@@ -1,0 +1,286 @@
+"""Batch applier: LWW dedup → schema-change sequencing → bucketed MERGE →
+atomic commit manifest + per-partition lineage.
+
+This is the engine's analogue of the reference's staged transaction
+(BreakinBulkLoader.scala:116-142 runInput→runFilters→runExecutor→runOutput→
+execute): each microbatch epoch runs
+    dedup → [DDL | merge]* → epoch-done manifest
+with every unit individually idempotent, so a crash anywhere inside an epoch
+resumes without duplicating work — the distributed, durable version of the
+reference's committed-task skip (ReuseInputExecutorPlugin.scala:61-64).
+
+MERGE strategy (copy-on-write, Iceberg-style):
+  * the deduped batch is bucketed by pmod(xxhash64(repo, path), n_buckets);
+  * only buckets PRESENT in the batch are read back from the target
+    (manifest-level file pruning — at 100 TB a small batch touches a tiny
+    fraction of files);
+  * a full-outer join per key decides each row: source wins iff
+    ``s.lsn >= t._lsn`` (the LSN guard — defense-in-depth idempotence:
+    re-applying an epoch rewrites identical rows);
+  * deletes become tombstones (``_deleted=true``) so a late lower-LSN insert
+    can never resurrect a deleted row across out-of-order batches;
+  * the join is co-partitioned: both sides are hash-distributed by the same
+    bucket function, and AQE splits residual skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.cdc.dedup import lww_dedup, lww_dedup_salted
+from embulk_filter_copy_spark.lake.schema import spark_type
+from embulk_filter_copy_spark.lake.table import LakeTable
+
+EPOCH_DONE_SEQ = -1
+
+
+def _batch_stats(table: LakeTable, batch: DataFrame, lsn_col: str) -> tuple[dict, list[dict]]:
+    """One job: per-partition lineage + global stats + affected buckets."""
+    rows = (
+        batch.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_bucket", table.bucket_expr())
+        .groupBy("_pid")
+        .agg(
+            F.min(lsn_col).alias("lsn_min"),
+            F.max(lsn_col).alias("lsn_max"),
+            F.count(F.lit(1)).alias("rows"),
+            F.collect_set("_bucket").alias("buckets"),
+            F.max("ts").alias("ts_max"),
+        )
+        .collect()
+    )
+    if not rows:
+        return {"rows": 0, "lsn_min": None, "lsn_max": None, "buckets": [], "ts_max": None}, []
+    buckets = sorted({b for r in rows for b in r["buckets"]})
+    stats = {
+        "rows": sum(r["rows"] for r in rows),
+        "lsn_min": min(r["lsn_min"] for r in rows),
+        "lsn_max": max(r["lsn_max"] for r in rows),
+        "buckets": buckets,
+        "ts_max": max((r["ts_max"] for r in rows if r["ts_max"] is not None), default=None),
+    }
+    lineage = [
+        {
+            "partition_id": r["_pid"],
+            "lsn_min": r["lsn_min"],
+            "lsn_max": r["lsn_max"],
+            "rows": r["rows"],
+        }
+        for r in rows
+    ]
+    return stats, lineage
+
+
+def merge_into(
+    table: LakeTable,
+    deduped: DataFrame,
+    commit: dict,
+    buckets: list[int],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> dict:
+    """Apply a per-key-unique batch of I/U/D row images to the table.
+
+    ``deduped`` must hold at most one row per key (post-LWW). Update
+    semantics are full-row-image: table columns absent from the event
+    envelope become NULL when the source wins (matches the oracle replayer).
+    """
+    keys = table.key_columns
+    t = table.read(include_meta=True, buckets=buckets).alias("t")
+    s = deduped.alias("s")
+    cond = [t[k].eqNullSafe(s[k]) for k in keys]
+    j = t.join(s, cond, "full_outer")
+
+    src_wins = s[lsn_col].isNotNull() & (
+        t["_lsn"].isNull() | (s[lsn_col] >= t["_lsn"])
+    )
+    reserved = {lsn_col, op_col, "ts", "schema_change"}
+    src_cols = {c for c in deduped.columns if c not in reserved}
+
+    out_cols = []
+    for f in table.schema.fields:
+        if f.name in keys:
+            out_cols.append(F.coalesce(s[f.name], t[f.name]).alias(f.name))
+        elif f.name in src_cols:
+            out_cols.append(F.when(src_wins, s[f.name]).otherwise(t[f.name]).alias(f.name))
+        else:
+            # column unknown to the CDC envelope (added via schema evolution):
+            # full-row-image update semantics → NULL when the source wins
+            out_cols.append(
+                F.when(src_wins, F.lit(None).cast(spark_type(f.type)))
+                .otherwise(t[f.name])
+                .alias(f.name)
+            )
+    out_cols.append(F.when(src_wins, s[lsn_col]).otherwise(t["_lsn"]).alias("_lsn"))
+    out_cols.append(
+        F.when(src_wins, s[op_col] == F.lit("D"))
+        .otherwise(F.coalesce(t["_deleted"], F.lit(False)))
+        .alias("_deleted")
+    )
+    merged = j.select(*out_cols)
+    return table.replace_buckets(buckets, merged, commit=commit)
+
+
+def _write_lineage(table: LakeTable, run_id: str, epoch: int, seq: int, lineage: list[dict], extra: dict) -> None:
+    d = os.path.join(table.path, "_lineage")
+    os.makedirs(d, exist_ok=True)
+    payload = {"run_id": run_id, "epoch": epoch, "seq": seq, "partitions": lineage, **extra}
+    # deterministic name → idempotent overwrite on epoch replay
+    tmp = os.path.join(d, f".tmp-{run_id}-{epoch}-{seq}.json")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.rename(tmp, os.path.join(d, f"run={run_id}-epoch={epoch}-seq={seq}.json"))
+
+
+def read_lineage(table: LakeTable) -> list[dict]:
+    d = os.path.join(table.path, "_lineage")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json") and not name.startswith("."):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def apply_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    run_id: str,
+    epoch: int,
+    dedup: str = "salted",
+    n_salts: int = 16,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    quarantine: tuple[str, int] | None = None,
+) -> dict:
+    """Apply one microbatch epoch to `table`, exactly once.
+
+    Sequencing: S (schema-change) events split the batch at their LSNs;
+    each DDL is applied BEFORE the data events that follow it in LSN order
+    (SURVEY.md §7.4 — the subtlest correctness requirement). Every sub-unit
+    carries its own (run_id, epoch, seq) manifest entry; the epoch is gated
+    by a final ``seq=-1`` marker.
+
+    ``quarantine=(path, delta_seconds)``: events with ts older than
+    batch-max(ts) - delta are appended to the quarantine parquet path and
+    excluded from the merge (the late-beyond-watermark path), counted in
+    the returned stats.
+    """
+    if table.has_commit(run_id, epoch, EPOCH_DONE_SEQ):
+        return {"skipped": True, "run_id": run_id, "epoch": epoch}
+
+    t0 = time.time()
+    schema_events = sorted(
+        (
+            (r[lsn_col], json.loads(r["schema_change"]))
+            for r in batch.filter(F.col(op_col) == "S")
+            .select(lsn_col, "schema_change")
+            .collect()
+        ),
+        key=lambda x: x[0],
+    )
+    data = batch.filter(F.col(op_col) != "S")
+
+    quarantined = 0
+    if quarantine is not None:
+        qpath, delta = quarantine
+        ts_max = data.agg(F.max("ts")).collect()[0][0]
+        if ts_max is not None:
+            threshold = ts_max.timestamp() - delta
+            late = data.filter(F.col("ts").cast("double") < F.lit(threshold))
+            quarantined = late.count()
+            if quarantined:
+                late.write.mode("append").parquet(qpath)
+                data = data.filter(F.col("ts").cast("double") >= F.lit(threshold))
+
+    # build the unit list: (seq, kind, payload)
+    boundaries = [l for l, _ in schema_events]
+    ranges = []  # (lo_exclusive, hi_inclusive) lsn ranges between schema events
+    lo = None
+    for b in boundaries:
+        ranges.append((lo, b))
+        lo = b
+    ranges.append((lo, None))
+
+    units: list[tuple[str, object]] = []
+    for i, (rlo, rhi) in enumerate(ranges):
+        units.append(("merge", (rlo, rhi)))
+        if i < len(schema_events):
+            units.append(("ddl", schema_events[i]))
+
+    single_merge = len(units) == 1
+    total_rows = 0
+    all_buckets: set[int] = set()
+    lsn_lo, lsn_hi = None, None
+
+    for seq, (kind, payload) in enumerate(units):
+        if kind == "ddl":
+            s_lsn, change = payload
+            table.update_schema(change, schema_lsn=s_lsn)
+            continue
+        rlo, rhi = payload
+        sub = data
+        if rlo is not None:
+            sub = sub.filter(F.col(lsn_col) > rlo)
+        if rhi is not None:
+            sub = sub.filter(F.col(lsn_col) < rhi)
+        eff_seq = EPOCH_DONE_SEQ if single_merge else seq
+        if table.has_commit(run_id, epoch, eff_seq):
+            continue
+        if dedup == "salted":
+            deduped = lww_dedup_salted(sub, lsn_col=lsn_col, n_salts=n_salts)
+        else:
+            deduped = lww_dedup(sub, lsn_col=lsn_col)
+        deduped = deduped.persist()
+        try:
+            stats, lineage = _batch_stats(table, deduped, lsn_col)
+            if stats["rows"] == 0:
+                continue
+            commit = {
+                "run_id": run_id,
+                "epoch": epoch,
+                "seq": eff_seq,
+                "lsn_min": stats["lsn_min"],
+                "lsn_max": stats["lsn_max"],
+                "rows_applied": stats["rows"],
+            }
+            merge_into(table, deduped, commit, buckets=stats["buckets"], lsn_col=lsn_col, op_col=op_col)
+            dur = max(time.time() - t0, 1e-9)
+            _write_lineage(
+                table, run_id, epoch, eff_seq, lineage,
+                {"rows": stats["rows"], "duration_sec": dur, "events_per_sec": stats["rows"] / dur},
+            )
+            total_rows += stats["rows"]
+            all_buckets |= set(stats["buckets"])
+            lsn_lo = stats["lsn_min"] if lsn_lo is None else min(lsn_lo, stats["lsn_min"])
+            lsn_hi = stats["lsn_max"] if lsn_hi is None else max(lsn_hi, stats["lsn_max"])
+        finally:
+            deduped.unpersist()
+
+    if not single_merge and not table.has_commit(run_id, epoch, EPOCH_DONE_SEQ):
+        table.add_commit(
+            {
+                "run_id": run_id,
+                "epoch": epoch,
+                "seq": EPOCH_DONE_SEQ,
+                "lsn_min": lsn_lo,
+                "lsn_max": lsn_hi,
+                "rows_applied": total_rows,
+            }
+        )
+    return {
+        "skipped": False,
+        "run_id": run_id,
+        "epoch": epoch,
+        "rows_applied": total_rows,
+        "buckets": sorted(all_buckets),
+        "quarantined": quarantined,
+        "duration_sec": time.time() - t0,
+    }

@@ -1,0 +1,180 @@
+"""Replay drivers: batch (bounded) and Structured Streaming (tail / resume).
+
+The streaming replayer is the engine's `transaction()` analogue
+(CopyFilterPlugin.scala:45-63): it plans ONE streaming query whose
+``foreachBatch`` fans each microbatch out to every leaf sink. The run id is
+derived deterministically from the checkpoint location, so a restart resumes
+under the SAME run id and the per-(sink, epoch, seq) commit manifests make
+re-delivered microbatches no-ops — exactly-once end to end on top of
+foreachBatch's at-least-once contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_filter_copy_spark.cdc.apply import apply_batch
+from embulk_filter_copy_spark.cdc.splitter import LeafSink, SinkSpec, apply_transforms, flatten_specs
+from embulk_filter_copy_spark.fixtures.generator import EVENT_SCHEMA
+from embulk_filter_copy_spark.lake.schema import spark_type
+from embulk_filter_copy_spark.lake.table import LakeTable
+
+
+def event_struct() -> T.StructType:
+    return T.StructType(
+        [T.StructField(n, spark_type(t), True) for n, t in EVENT_SCHEMA]
+    )
+
+
+def run_id_for_checkpoint(checkpoint: str) -> str:
+    """Stable across restarts (NEVER random — resume must see the same id;
+    contrast with the reference's random txn id, Utils.scala:12-18, which
+    only namespaces concurrent runs and is not resume-relevant)."""
+    return hashlib.sha1(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+
+class FanoutApplier:
+    """foreachBatch callable: persist once, merge into every leaf sink."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        leaves: list[LeafSink],
+        run_id: str,
+        keys: tuple[str, ...] = ("repo", "path"),
+        dedup: str = "salted",
+        n_salts: int = 16,
+        quarantine: tuple[str, int] | None = None,
+    ):
+        self.spark = spark
+        self.leaves = leaves
+        self.run_id = run_id
+        self.keys = keys
+        self.dedup = dedup
+        self.n_salts = n_salts
+        self.quarantine = quarantine
+        self.results: list[dict] = []
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            for leaf in self.leaves:
+                table = LakeTable.load(self.spark, leaf.path)
+                df = apply_transforms(batch_df, leaf.transforms, keys=self.keys)
+                res = apply_batch(
+                    table,
+                    df,
+                    run_id=self.run_id,
+                    epoch=int(epoch_id),
+                    dedup=self.dedup,
+                    n_salts=self.n_salts,
+                    quarantine=self.quarantine,
+                )
+                res["sink"] = leaf.name
+                self.results.append(res)
+        finally:
+            batch_df.unpersist()
+
+
+def replay_stream(
+    spark: SparkSession,
+    events_path: str,
+    sinks: list[SinkSpec] | SinkSpec | str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+    dedup: str = "salted",
+    n_salts: int = 16,
+    quarantine: tuple[str, int] | None = None,
+    fail_after_epoch: int | None = None,
+) -> list[dict]:
+    """Structured-Streaming replay of an event-log directory into N sinks.
+
+    availableNow trigger = bounded replay (drain everything, then stop) —
+    the analogue of the reference's sentinel-drain shutdown
+    (LoaderState.scala:183-210). With a processing-time trigger the same
+    query tails a growing log.
+
+    ``fail_after_epoch`` injects a crash after that epoch commits (test
+    hook for resume semantics).
+    """
+    if isinstance(sinks, str):
+        sinks = SinkSpec(name="primary", path=sinks)
+    leaves = flatten_specs(sinks)
+    run_id = run_id_for_checkpoint(checkpoint)
+    applier = FanoutApplier(
+        spark, leaves, run_id, dedup=dedup, n_salts=n_salts, quarantine=quarantine
+    )
+
+    if fail_after_epoch is not None:
+        inner = applier
+
+        class _CrashAfter:
+            def __init__(self):
+                self.results = inner.results
+
+            def __call__(self, df, eid):
+                inner(df, eid)
+                if eid >= fail_after_epoch:
+                    raise RuntimeError(f"injected crash after epoch {eid}")
+
+        applier = _CrashAfter()
+
+    reader = spark.readStream.schema(event_struct())
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
+    # watermarked dedup of exact re-deliveries on the north_star key
+    # (repo, path, lsn); state is bounded by the watermark. LWW + the merge
+    # LSN guard downstream make this an optimization, not a correctness
+    # dependency.
+    stream = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["repo", "path", "lsn"]
+    )
+    q = (
+        stream.writeStream.foreachBatch(applier)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    except Exception:
+        if fail_after_epoch is None:
+            raise
+        # injected crash: swallow, caller restarts from checkpoint
+    return applier.results
+
+
+def replay_batch(
+    spark: SparkSession,
+    events: DataFrame,
+    table: LakeTable,
+    run_id: str = "batch-replay",
+    n_epochs: int = 1,
+    dedup: str = "salted",
+    n_salts: int = 16,
+) -> list[dict]:
+    """Bounded replay without the streaming machinery: split the log into
+    ``n_epochs`` contiguous LSN ranges and apply them in order. Used by M1
+    correctness tests and the throughput benchmark (same apply path as
+    streaming — foreachBatch calls the identical ``apply_batch``)."""
+    bounds = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    results = []
+    if lo is None:
+        return results
+    span = (hi - lo + 1) / n_epochs
+    for e in range(n_epochs):
+        e_lo = lo + int(e * span)
+        e_hi = lo + int((e + 1) * span) if e < n_epochs - 1 else hi + 1
+        chunk = events.filter((F.col("lsn") >= e_lo) & (F.col("lsn") < e_hi))
+        results.append(
+            apply_batch(table, chunk, run_id=run_id, epoch=e, dedup=dedup, n_salts=n_salts)
+        )
+    return results

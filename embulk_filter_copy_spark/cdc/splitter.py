@@ -1,0 +1,111 @@
+"""Multi-sink fan-out splitter — the reference's core idea, Spark-first.
+
+The reference physically re-copies every value of every row into N+1 page
+builders (CopyColumnVisitor.scala:17-56) and runs each branch on its own
+thread pool. Here the microbatch is persisted ONCE and each sink applies its
+declarative transform chain to the cached plan — Catalyst reuses the cached
+columnar batch, so "copying" costs nothing per sink beyond its own transform
++ merge work (SURVEY.md §2.2 "Per-record duplication").
+
+Sink specs NEST like the reference's recursive copy-in-copy configs
+(TestCopyFilterPlugin.scala:192-252, example/config.yml:24-28); they are
+flattened at plan time into leaf sinks whose transform chain is the
+composition of all ancestor chains — no nested streaming queries needed.
+
+Transform chain grammar (declarative, JVM-side unless "pandas"):
+    ("select", [cols...])          — keep only these payload columns
+    ("drop", [cols...])            — remove payload columns
+    ("filter", "sql expr")         — row predicate
+    ("with_column", name, "expr")  — derived column (SQL expression)
+    ("rename", old, new)           — payload column rename
+    ("pandas", registry_name)      — Arrow-vectorized pandas UDF transform
+                                     looked up in the transform registry
+
+CDC envelope columns (lsn, ts, op, schema_change) and the key columns are
+always preserved — they are the replication machinery, not payload.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ENVELOPE_COLS = ("lsn", "ts", "op", "schema_change")
+
+# registry of named Arrow-vectorized transforms: name -> (DataFrame -> DataFrame)
+TRANSFORM_REGISTRY: dict[str, object] = {}
+
+
+def register_transform(name: str):
+    def deco(fn):
+        TRANSFORM_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@dataclass(frozen=True)
+class SinkSpec:
+    """A node in the fan-out tree. Leaf iff ``path`` is set (a LakeTable
+    root); interior nodes contribute their transforms to every descendant."""
+
+    name: str
+    path: str | None = None
+    transforms: tuple = ()
+    children: tuple = ()
+
+
+@dataclass(frozen=True)
+class LeafSink:
+    name: str
+    path: str
+    transforms: tuple = ()
+
+
+def flatten_specs(specs: list[SinkSpec] | SinkSpec, _prefix: str = "", _chain: tuple = ()) -> list[LeafSink]:
+    """Flatten a nested sink tree into leaf sinks with composed transforms —
+    parity with the reference's nested-copy flattening semantics."""
+    if isinstance(specs, SinkSpec):
+        specs = [specs]
+    leaves: list[LeafSink] = []
+    for s in specs:
+        name = f"{_prefix}{s.name}"
+        chain = _chain + tuple(s.transforms)
+        if s.path is not None:
+            leaves.append(LeafSink(name=name, path=s.path, transforms=chain))
+        for c in s.children:
+            leaves.extend(flatten_specs(c, _prefix=f"{name}/", _chain=chain))
+    return leaves
+
+
+def _protected(df: DataFrame, keys: tuple[str, ...]) -> set[str]:
+    return {c for c in ENVELOPE_COLS if c in df.columns} | set(keys)
+
+
+def apply_transforms(
+    df: DataFrame, transforms: tuple, keys: tuple[str, ...] = ("repo", "path")
+) -> DataFrame:
+    for t in transforms:
+        kind = t[0]
+        prot = _protected(df, keys)
+        if kind == "select":
+            keep = [c for c in df.columns if c in set(t[1]) | prot]
+            df = df.select(*keep)
+        elif kind == "drop":
+            df = df.drop(*[c for c in t[1] if c not in prot])
+        elif kind == "filter":
+            df = df.filter(t[1])
+        elif kind == "with_column":
+            df = df.withColumn(t[1], F.expr(t[2]))
+        elif kind == "rename":
+            if t[1] in prot:
+                raise ValueError(f"cannot rename protected column {t[1]!r}")
+            df = df.withColumnRenamed(t[1], t[2])
+        elif kind == "pandas":
+            fn = TRANSFORM_REGISTRY[t[1]]
+            df = fn(df)
+        else:
+            raise ValueError(f"unknown transform {t!r}")
+    return df

@@ -1,0 +1,157 @@
+"""Field-id based table schema with add / rename / widen evolution.
+
+Mirrors the capability the reference delegates to per-stage Embulk schema
+re-derivation (BreakinBulkLoader.scala:221-234, LoaderState.scala:98-100):
+each evolution step yields a NEW schema version; data files remember the
+schema version they were written under and are projected to the current
+schema at read time by field id (so renames are metadata-only and widenings
+are a cast-on-read, exactly like Iceberg).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+
+_SPARK_TYPE = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+# allowed lossless widenings (Iceberg-compatible set)
+_WIDEN_OK = {
+    ("int", "long"),
+    ("int", "double"),
+    ("long", "double"),
+    ("float", "double"),
+}
+
+
+def spark_type(name: str) -> T.DataType:
+    if name not in _SPARK_TYPE:
+        raise ValueError(f"unsupported lake type: {name!r}")
+    return _SPARK_TYPE[name]
+
+
+@dataclass(frozen=True)
+class Field:
+    id: int
+    name: str
+    type: str
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "name": self.name, "type": self.type}
+
+    @classmethod
+    def from_json(cls, d: dict) -> Field:
+        return cls(id=d["id"], name=d["name"], type=d["type"])
+
+
+class SchemaEvolutionError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class TableSchema:
+    fields: tuple[Field, ...]
+    next_id: int
+
+    @classmethod
+    def from_pairs(cls, pairs: list[tuple[str, str]]) -> TableSchema:
+        fields = tuple(Field(i + 1, n, t) for i, (n, t) in enumerate(pairs))
+        for f in fields:
+            spark_type(f.type)  # validate
+        return cls(fields=fields, next_id=len(fields) + 1)
+
+    @classmethod
+    def from_struct(cls, struct: T.StructType) -> TableSchema:
+        rev = {v.simpleString(): k for k, v in _SPARK_TYPE.items()}
+        pairs = []
+        for f in struct.fields:
+            key = f.dataType.simpleString()
+            if key not in rev:
+                raise ValueError(f"unsupported type for lake table: {key}")
+            pairs.append((f.name, rev[key]))
+        return cls.from_pairs(pairs)
+
+    def to_json(self) -> dict:
+        return {"fields": [f.to_json() for f in self.fields], "next_id": self.next_id}
+
+    @classmethod
+    def from_json(cls, d: dict) -> TableSchema:
+        return cls(
+            fields=tuple(Field.from_json(f) for f in d["fields"]),
+            next_id=d["next_id"],
+        )
+
+    # -- lookups ---------------------------------------------------------
+    def names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def field(self, name: str) -> Field:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    def field_by_id(self, fid: int) -> Field | None:
+        for f in self.fields:
+            if f.id == fid:
+                return f
+        return None
+
+    def to_struct(self, nullable: bool = True) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f.name, spark_type(f.type), nullable) for f in self.fields]
+        )
+
+    # -- evolution -------------------------------------------------------
+    def add_column(self, name: str, type_: str) -> TableSchema:
+        if any(f.name == name for f in self.fields):
+            raise SchemaEvolutionError(f"column {name!r} already exists")
+        spark_type(type_)
+        return TableSchema(
+            fields=self.fields + (Field(self.next_id, name, type_),),
+            next_id=self.next_id + 1,
+        )
+
+    def rename_column(self, old: str, new: str) -> TableSchema:
+        if any(f.name == new for f in self.fields):
+            raise SchemaEvolutionError(f"column {new!r} already exists")
+        f = self.field(old)
+        return TableSchema(
+            fields=tuple(Field(g.id, new, g.type) if g.id == f.id else g for g in self.fields),
+            next_id=self.next_id,
+        )
+
+    def widen_column(self, name: str, to_type: str) -> TableSchema:
+        f = self.field(name)
+        if f.type == to_type:
+            return self  # idempotent re-apply
+        if (f.type, to_type) not in _WIDEN_OK:
+            raise SchemaEvolutionError(f"cannot widen {f.type} -> {to_type}")
+        return TableSchema(
+            fields=tuple(
+                Field(g.id, g.name, to_type) if g.id == f.id else g for g in self.fields
+            ),
+            next_id=self.next_id,
+        )
+
+    def apply_change(self, change: dict) -> TableSchema:
+        """Apply a CDC schema-change payload: ``{"action": "add"|"rename"|"widen", ...}``."""
+        action = change.get("action")
+        if action == "add":
+            return self.add_column(change["column"], change["type"])
+        if action == "rename":
+            return self.rename_column(change["from"], change["to"])
+        if action == "widen":
+            return self.widen_column(change["column"], change["to"])
+        raise SchemaEvolutionError(f"unknown schema-change action: {action!r}")

@@ -1,0 +1,350 @@
+"""LakeTable: snapshot-isolated, hash-bucketed, copy-on-write parquet table.
+
+Layout on disk::
+
+    <root>/
+      _meta/
+        v00000001.json      # immutable snapshot (files, schema versions, commits)
+        v00000002.json
+        CURRENT             # text file holding the current version number
+      data/
+        c00000002/_bucket=3/part-*.parquet
+
+Commit protocol (the exactly-once core, see lake/__init__ docstring):
+  1. build the next snapshot dict in memory,
+  2. create ``v{n+1}.json`` with O_CREAT|O_EXCL — a concurrent committer
+     racing to the same version loses and gets :class:`CommitConflict`,
+  3. atomically rename a temp file onto ``CURRENT``.
+
+Metadata columns stored in data files alongside the logical schema:
+  * ``_lsn``      — last-applied change LSN for the row (the MERGE guard),
+  * ``_deleted``  — tombstone flag; logical reads filter it out. Tombstones
+    (rather than physical deletes) make out-of-order cross-batch replays
+    safe: a late INSERT with a lower LSN cannot resurrect a row deleted at a
+    higher LSN. Compaction may purge tombstones older than the watermark.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+import time
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_filter_copy_spark.lake.schema import TableSchema, spark_type
+
+FORMAT_VERSION = 1
+
+# metadata columns carried in every data file, invisible to logical reads
+META_FIELDS: list[tuple[str, str]] = [("_lsn", "long"), ("_deleted", "boolean")]
+META_NAMES = [n for n, _ in META_FIELDS]
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent writer committed the same version first; retry on latest."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._meta_dir = os.path.join(self.path, "_meta")
+        self._snap_cache: dict | None = None
+        self._snap_cache_version: int | None = None
+
+    # ------------------------------------------------------------------
+    # creation / loading
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: TableSchema | list[tuple[str, str]],
+        key_columns: list[str],
+        n_buckets: int = 16,
+    ) -> LakeTable:
+        if not isinstance(schema, TableSchema):
+            schema = TableSchema.from_pairs(schema)
+        for k in key_columns:
+            schema.field(k)  # validate keys exist
+        t = cls(spark, path)
+        os.makedirs(t._meta_dir, exist_ok=False)
+        os.makedirs(os.path.join(t.path, "data"), exist_ok=True)
+        snap = {
+            "format_version": FORMAT_VERSION,
+            "version": 1,
+            "parent": None,
+            "key_columns": list(key_columns),
+            "n_buckets": int(n_buckets),
+            "schema_version": 1,
+            "schemas": {"1": schema.to_json()},
+            "schema_lsn": -1,
+            "files": [],
+            "commits": [],
+        }
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> LakeTable:
+        t = cls(spark, path)
+        t.snapshot()  # raises if missing
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_meta", "CURRENT"))
+
+    # ------------------------------------------------------------------
+    # snapshot I/O
+    # ------------------------------------------------------------------
+    def current_version(self) -> int:
+        with open(os.path.join(self._meta_dir, "CURRENT")) as f:
+            return int(f.read().strip())
+
+    def snapshot(self) -> dict:
+        v = self.current_version()
+        if self._snap_cache_version != v:
+            with open(os.path.join(self._meta_dir, f"v{v:08d}.json")) as f:
+                self._snap_cache = json.load(f)
+            self._snap_cache_version = v
+        return self._snap_cache
+
+    def _write_snapshot(self, snap: dict) -> None:
+        v = snap["version"]
+        snap_path = os.path.join(self._meta_dir, f"v{v:08d}.json")
+        try:
+            fd = os.open(snap_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {v} already committed at {self.path}") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
+        tmp = os.path.join(self._meta_dir, f".CURRENT.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.rename(tmp, os.path.join(self._meta_dir, "CURRENT"))
+        self._snap_cache = snap
+        self._snap_cache_version = v
+
+    def _next_snapshot(self) -> dict:
+        snap = json.loads(json.dumps(self.snapshot()))  # deep copy
+        snap["parent"] = snap["version"]
+        snap["version"] += 1
+        return snap
+
+    # ------------------------------------------------------------------
+    # schema accessors
+    # ------------------------------------------------------------------
+    @property
+    def schema(self) -> TableSchema:
+        snap = self.snapshot()
+        return TableSchema.from_json(snap["schemas"][str(snap["schema_version"])])
+
+    def schema_at(self, version: int) -> TableSchema:
+        return TableSchema.from_json(self.snapshot()["schemas"][str(version)])
+
+    @property
+    def key_columns(self) -> list[str]:
+        return list(self.snapshot()["key_columns"])
+
+    @property
+    def n_buckets(self) -> int:
+        return self.snapshot()["n_buckets"]
+
+    @property
+    def schema_lsn(self) -> int:
+        return self.snapshot()["schema_lsn"]
+
+    def bucket_expr(self) -> F.Column:
+        """Hash-bucket of the key columns; the physical partitioning unit."""
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.key_columns]), F.lit(self.n_buckets))
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def files(self, buckets: list[int] | None = None) -> list[dict]:
+        fs = self.snapshot()["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            fs = [f for f in fs if f["bucket"] in bset]
+        return fs
+
+    def _empty_df(self, include_meta: bool) -> DataFrame:
+        struct = self.schema.to_struct()
+        if include_meta:
+            for n, t in META_FIELDS:
+                struct = struct.add(T.StructField(n, spark_type(t), True))
+        return self.spark.createDataFrame([], struct)
+
+    def read(self, include_meta: bool = False, buckets: list[int] | None = None) -> DataFrame:
+        """Current-snapshot scan with manifest-level bucket pruning.
+
+        Files written under older schema versions are projected to the
+        current schema by field id (rename = alias, widen = cast, added
+        column = null). Logical reads hide metadata columns and tombstones.
+        """
+        files = self.files(buckets)
+        cur = self.schema
+        if not files:
+            df = self._empty_df(include_meta=True)
+        else:
+            by_sv: dict[int, list[str]] = {}
+            for f in files:
+                by_sv.setdefault(f["schema_version"], []).append(
+                    os.path.join(self.path, f["path"])
+                )
+            parts = []
+            for sv, paths in sorted(by_sv.items()):
+                old = self.schema_at(sv)
+                file_struct = old.to_struct()
+                for n, t in META_FIELDS:
+                    file_struct = file_struct.add(T.StructField(n, spark_type(t), True))
+                raw = self.spark.read.schema(file_struct).parquet(*paths)
+                cols = []
+                for cf in cur.fields:
+                    of = old.field_by_id(cf.id)
+                    if of is None:
+                        cols.append(F.lit(None).cast(spark_type(cf.type)).alias(cf.name))
+                    else:
+                        cols.append(F.col(of.name).cast(spark_type(cf.type)).alias(cf.name))
+                cols += [F.col(n) for n in META_NAMES]
+                parts.append(raw.select(*cols))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        if not include_meta:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*META_NAMES)
+        return df
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+    def _prepare_write(self, df: DataFrame) -> DataFrame:
+        """Order/complete columns to the current physical layout (+meta)."""
+        cur = self.schema
+        cols = []
+        for f in cur.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(spark_type(f.type)).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(spark_type(f.type)).alias(f.name))
+        for n, t in META_FIELDS:
+            if n in df.columns:
+                cols.append(F.col(n).cast(spark_type(t)).alias(n))
+            else:
+                dflt = F.lit(False) if n == "_deleted" else F.lit(None)
+                cols.append(dflt.cast(spark_type(t)).alias(n))
+        return df.select(*cols)
+
+    def _write_data_files(self, df: DataFrame, commit_dir: str) -> list[dict]:
+        """Write df into data/<commit_dir>/_bucket=*/ and return file entries."""
+        out_dir = os.path.join(self.path, "data", commit_dir)
+        staged = self._prepare_write(df).withColumn("_bucket", self.bucket_expr())
+        # one shuffle keyed by bucket so each bucket's rows land contiguously;
+        # at cluster scale this is the co-partitioning the MERGE join reuses
+        staged = staged.repartition("_bucket")
+        staged.write.mode("errorifexists").partitionBy("_bucket").parquet(out_dir)
+        entries = []
+        sv = self.snapshot()["schema_version"]
+        for p in sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet"))):
+            bucket = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+            rows = pq.ParquetFile(p).metadata.num_rows
+            if rows == 0:
+                continue
+            entries.append(
+                {
+                    "path": os.path.relpath(p, self.path),
+                    "bucket": bucket,
+                    "rows": rows,
+                    "schema_version": sv,
+                }
+            )
+        return entries
+
+    def append(self, df: DataFrame, commit: dict | None = None) -> dict:
+        snap = self._next_snapshot()
+        entries = self._write_data_files(df, f"c{snap['version']:08d}-{uuid.uuid4().hex[:8]}")
+        snap["files"] = snap["files"] + entries
+        if commit:
+            snap["commits"] = snap["commits"] + [dict(commit, committed_at=time.time())]
+        self._write_snapshot(snap)
+        return {"files_added": len(entries), "rows": sum(e["rows"] for e in entries)}
+
+    def replace_buckets(
+        self, buckets: list[int], df: DataFrame, commit: dict | None = None
+    ) -> dict:
+        """Copy-on-write swap: new files for `buckets`, other buckets untouched."""
+        bset = set(int(b) for b in buckets)
+        snap = self._next_snapshot()
+        entries = self._write_data_files(df, f"c{snap['version']:08d}-{uuid.uuid4().hex[:8]}")
+        bad = [e for e in entries if e["bucket"] not in bset]
+        if bad:
+            raise ValueError(f"write produced rows outside affected buckets: {bad[:3]}")
+        kept = [f for f in snap["files"] if f["bucket"] not in bset]
+        snap["files"] = kept + entries
+        if commit:
+            snap["commits"] = snap["commits"] + [dict(commit, committed_at=time.time())]
+        self._write_snapshot(snap)
+        return {
+            "files_added": len(entries),
+            "rows": sum(e["rows"] for e in entries),
+            "buckets_rewritten": sorted(bset),
+        }
+
+    # ------------------------------------------------------------------
+    # schema evolution (transactional DDL)
+    # ------------------------------------------------------------------
+    def update_schema(self, change: dict, schema_lsn: int, commit: dict | None = None) -> bool:
+        """Apply a CDC schema-change payload as a new schema version.
+
+        Returns False (no-op) when ``schema_lsn`` was already applied —
+        the DDL analogue of the commit-manifest skip, which makes epoch
+        replay after a crash safe (SURVEY.md §7.4 M4 sequencing).
+        """
+        if schema_lsn <= self.schema_lsn:
+            return False
+        snap = self._next_snapshot()
+        cur = TableSchema.from_json(snap["schemas"][str(snap["schema_version"])])
+        new = cur.apply_change(change)
+        snap["schema_version"] += 1
+        snap["schemas"][str(snap["schema_version"])] = new.to_json()
+        snap["schema_lsn"] = int(schema_lsn)
+        if commit:
+            snap["commits"] = snap["commits"] + [dict(commit, committed_at=time.time())]
+        self._write_snapshot(snap)
+        return True
+
+    # ------------------------------------------------------------------
+    # commit manifests (exactly-once)
+    # ------------------------------------------------------------------
+    def commits(self) -> list[dict]:
+        return list(self.snapshot()["commits"])
+
+    def add_commit(self, commit: dict) -> None:
+        """Metadata-only commit (e.g. an epoch-done marker): no data change."""
+        snap = self._next_snapshot()
+        snap["commits"] = snap["commits"] + [dict(commit, committed_at=time.time())]
+        self._write_snapshot(snap)
+
+    def has_commit(self, run_id: str, epoch: int, seq: int = 0) -> bool:
+        """Reference parity: committed tasks are skipped on resume
+        (ReuseInputExecutorPlugin.scala:61-64, LoaderState.scala:111-120)."""
+        for c in self.snapshot()["commits"]:
+            if c.get("run_id") == run_id and c.get("epoch") == epoch and c.get("seq", 0) == seq:
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    # stats
+    # ------------------------------------------------------------------
+    def row_count(self) -> int:
+        """Physical row count from manifest stats (includes tombstones)."""
+        return sum(f["rows"] for f in self.snapshot()["files"])
