@@ -63,6 +63,10 @@ class FanoutApplier:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
+            # materialize the cache once; also satisfies Spark 4.x's
+            # state-store commit validation on replayed (all-skipped) epochs,
+            # which requires foreachBatch to process the whole DataFrame
+            batch_df.count()
             for leaf in self.leaves:
                 table = LakeTable.load(self.spark, leaf.path)
                 df = apply_transforms(batch_df, leaf.transforms, keys=self.keys)

@@ -1,0 +1,171 @@
+"""M3: multi-sink fan-out splitter — parity with the reference's test suite.
+
+Mirrors TestCopyFilterPlugin.scala scenarios:
+  1. plain copy to 2 sinks + passthrough unchanged     (:25-67)
+  3. per-sink column projection, independent chains    (:104-190)
+  4. nested sink specs 3 levels deep, all leaves equal (:192-252)
+"""
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.cdc.replayer import replay_stream
+from embulk_filter_copy_spark.cdc.splitter import (
+    SinkSpec,
+    apply_transforms,
+    flatten_specs,
+    register_transform,
+)
+from embulk_filter_copy_spark.fixtures import (
+    REPO_FILES_SCHEMA,
+    gen_change_events,
+    gen_repo_files,
+    replay_oracle,
+)
+from embulk_filter_copy_spark.lake.table import LakeTable
+
+
+def _mk_sink(spark, tmpdir_path, name, schema=None):
+    path = os.path.join(tmpdir_path, name)
+    LakeTable.create(spark, path, schema or REPO_FILES_SCHEMA,
+                     key_columns=["repo", "path"], n_buckets=4)
+    return path
+
+
+def _final(spark, path):
+    return (LakeTable.load(spark, path).read().toPandas()
+            .sort_values(["repo", "path"]).reset_index(drop=True))
+
+
+def test_flatten_nested_specs_composes_transforms():
+    tree = SinkSpec(
+        name="a", transforms=(("drop", ["lang"]),),
+        children=(
+            SinkSpec(name="b", path="/s/b", transforms=(("drop", ["commit"]),)),
+            SinkSpec(name="c", path="/s/c"),
+        ),
+    )
+    leaves = flatten_specs(tree)
+    assert [l.name for l in leaves] == ["a/b", "a/c"]
+    assert leaves[0].transforms == (("drop", ["lang"]), ("drop", ["commit"]))
+    assert leaves[1].transforms == (("drop", ["lang"]),)
+
+
+def test_copy_to_two_sinks_identical(spark, tmpdir_path):
+    """Reference scenario 1: every sink receives every surviving record."""
+    base = gen_repo_files(spark, 100, seed=2)
+    ev = gen_change_events(spark, 100, 400, seed=2, dup_rate=0.05)
+    s1 = _mk_sink(spark, tmpdir_path, "s1")
+    s2 = _mk_sink(spark, tmpdir_path, "s2")
+    for p in (s1, s2):
+        LakeTable.load(spark, p).append(base.withColumn("_lsn", F.lit(0)))
+    log = os.path.join(tmpdir_path, "log")
+    ev.coalesce(1).write.parquet(log)
+    specs = [SinkSpec(name="s1", path=s1), SinkSpec(name="s2", path=s2)]
+    replay_stream(spark, log, specs, checkpoint=os.path.join(tmpdir_path, "ck"))
+    golden = replay_oracle(base.toPandas(), ev.toPandas())
+    f1, f2 = _final(spark, s1), _final(spark, s2)
+    assert f1.equals(f2)
+    assert f1[["repo", "path", "content"]].equals(
+        golden[["repo", "path", "content"]].reset_index(drop=True))
+
+
+def test_per_sink_projection_independent(spark, tmpdir_path):
+    """Reference scenario 3: one sink drops columns, the other is full-width;
+    chains are independent."""
+    base = gen_repo_files(spark, 80, seed=4)
+    ev = gen_change_events(spark, 80, 300, seed=4)
+    narrow_schema = [("repo", "string"), ("path", "string"), ("content", "string")]
+    s_full = _mk_sink(spark, tmpdir_path, "full")
+    s_narrow = _mk_sink(spark, tmpdir_path, "narrow", schema=narrow_schema)
+    for p, sch in ((s_full, None), (s_narrow, narrow_schema)):
+        t = LakeTable.load(spark, p)
+        cols = [c for c, _ in (sch or REPO_FILES_SCHEMA)]
+        t.append(base.select(*cols).withColumn("_lsn", F.lit(0)))
+    log = os.path.join(tmpdir_path, "log")
+    ev.coalesce(1).write.parquet(log)
+    specs = [
+        SinkSpec(name="full", path=s_full),
+        SinkSpec(name="narrow", path=s_narrow, transforms=(("drop", ["commit", "lang"]),)),
+    ]
+    replay_stream(spark, log, specs, checkpoint=os.path.join(tmpdir_path, "ck"))
+    golden = replay_oracle(base.toPandas(), ev.toPandas())
+    full, narrow = _final(spark, s_full), _final(spark, s_narrow)
+    assert list(narrow.columns) == ["repo", "path", "content"]
+    assert list(full.columns) == ["repo", "path", "commit", "lang", "content"]
+    assert narrow.equals(golden[["repo", "path", "content"]].reset_index(drop=True))
+    assert full.equals(golden.reset_index(drop=True))
+
+
+def test_nested_specs_three_deep_all_leaves_equal(spark, tmpdir_path):
+    """Reference scenario 4: nested copy 3 levels deep → all sinks identical."""
+    base = gen_repo_files(spark, 60, seed=6)
+    ev = gen_change_events(spark, 60, 200, seed=6)
+    paths = {n: _mk_sink(spark, tmpdir_path, n) for n in ["l1", "l2", "l3a", "l3b"]}
+    for p in paths.values():
+        LakeTable.load(spark, p).append(base.withColumn("_lsn", F.lit(0)))
+    tree = SinkSpec(
+        name="root", path=paths["l1"],
+        children=(
+            SinkSpec(
+                name="mid", path=paths["l2"],
+                children=(
+                    SinkSpec(name="leaf_a", path=paths["l3a"]),
+                    SinkSpec(name="leaf_b", path=paths["l3b"]),
+                ),
+            ),
+        ),
+    )
+    log = os.path.join(tmpdir_path, "log")
+    ev.coalesce(1).write.parquet(log)
+    replay_stream(spark, log, tree, checkpoint=os.path.join(tmpdir_path, "ck"))
+    finals = [_final(spark, p) for p in paths.values()]
+    for f in finals[1:]:
+        assert f.equals(finals[0])
+    assert len(finals[0]) == len(replay_oracle(base.toPandas(), ev.toPandas()))
+
+
+def test_pandas_udf_transform_in_chain(spark, tmpdir_path):
+    """Arrow-vectorized per-sink transform (input_hint: no per-row Python)."""
+
+    @register_transform("content_upper_lang")
+    def content_upper_lang(df):
+        @F.pandas_udf("string")
+        def upper(s: pd.Series) -> pd.Series:
+            return s.str.upper()
+
+        return df.withColumn("lang", upper(F.col("lang")))
+
+    base = gen_repo_files(spark, 40, seed=8)
+    ev = gen_change_events(spark, 40, 150, seed=8)
+    s = _mk_sink(spark, tmpdir_path, "up")
+    LakeTable.load(spark, s).append(
+        base.withColumn("lang", F.upper("lang")).withColumn("_lsn", F.lit(0)))
+    log = os.path.join(tmpdir_path, "log")
+    ev.coalesce(1).write.parquet(log)
+    spec = SinkSpec(name="up", path=s, transforms=(("pandas", "content_upper_lang"),))
+    replay_stream(spark, log, spec, checkpoint=os.path.join(tmpdir_path, "ck"))
+    golden = replay_oracle(base.toPandas(), ev.toPandas())
+    got = _final(spark, s)
+    assert (got["lang"].dropna() == golden["lang"].dropna().str.upper().values).all()
+    assert got[["repo", "path", "content"]].equals(
+        golden[["repo", "path", "content"]].reset_index(drop=True))
+
+
+def test_filter_and_derived_column_transforms(spark, tmpdir_path):
+    ev = gen_change_events(spark, 30, 100, seed=9)
+    out = apply_transforms(
+        ev,
+        (
+            ("filter", "op <> 'D'"),
+            ("with_column", "content_sha", "sha2(content, 256)"),
+            ("drop", ["commit"]),
+        ),
+    )
+    assert "commit" not in out.columns and "content_sha" in out.columns
+    assert out.filter("op = 'D'").count() == 0
+    # envelope + keys survive any projection
+    for c in ("lsn", "ts", "op", "repo", "path"):
+        assert c in out.columns

@@ -1,0 +1,121 @@
+"""M2: Structured-Streaming replay, exactly-once resume, quarantine."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.cdc.replayer import replay_stream, run_id_for_checkpoint
+from embulk_filter_copy_spark.fixtures import (
+    REPO_FILES_SCHEMA,
+    gen_change_events,
+    gen_repo_files,
+    replay_oracle,
+)
+from embulk_filter_copy_spark.lake.table import LakeTable
+
+DDL = ("lsn long, ts timestamp, op string, repo string, path string,"
+       " commit string, lang string, content string, schema_change string")
+
+
+def write_event_log(ev, path, n_chunks=4):
+    """Write the log as n_chunks sequential files (ascending lsn ranges) so
+    the file stream's batches arrive in roughly LSN order, like a WAL tail."""
+    bounds = ev.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    span = (hi - lo + 1) / n_chunks
+    for c in range(n_chunks):
+        c_lo = lo + int(c * span)
+        c_hi = lo + int((c + 1) * span) if c < n_chunks - 1 else hi + 1
+        chunk = ev.filter((F.col("lsn") >= c_lo) & (F.col("lsn") < c_hi))
+        chunk.coalesce(1).write.mode("append").parquet(path)
+
+
+def _bootstrap(spark, tmpdir_path, n_base=150, seed=42):
+    base = gen_repo_files(spark, n_base, seed=seed)
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), REPO_FILES_SCHEMA,
+        key_columns=["repo", "path"], n_buckets=8,
+    )
+    t.append(base.withColumn("_lsn", F.lit(0)))
+    return t, base
+
+
+def _parity(table, base, events_applied):
+    golden = replay_oracle(base.toPandas(), events_applied.toPandas())
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert len(got) == len(golden)
+    gl = golden[["repo", "path", "content", "commit"]].reset_index(drop=True)
+    gt = got[["repo", "path", "content", "commit"]].reset_index(drop=True)
+    assert gt.equals(gl)
+
+
+def test_streaming_replay_matches_oracle(spark, tmpdir_path):
+    t, base = _bootstrap(spark, tmpdir_path)
+    ev = gen_change_events(spark, 150, 800, seed=42, dup_rate=0.05)
+    log = os.path.join(tmpdir_path, "log")
+    write_event_log(ev, log, n_chunks=4)
+    results = replay_stream(
+        spark, log, os.path.join(tmpdir_path, "tbl"),
+        checkpoint=os.path.join(tmpdir_path, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert len(results) >= 2  # several microbatch epochs
+    _parity(t, base, ev)
+
+
+def test_crash_resume_exactly_once(spark, tmpdir_path):
+    t, base = _bootstrap(spark, tmpdir_path, seed=13)
+    ev = gen_change_events(spark, 150, 600, seed=13, dup_rate=0.1)
+    log = os.path.join(tmpdir_path, "log")
+    write_event_log(ev, log, n_chunks=4)
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+
+    replay_stream(spark, log, os.path.join(tmpdir_path, "tbl"),
+                  checkpoint=ckpt, max_files_per_trigger=1, fail_after_epoch=1)
+    v_after_crash = t.current_version()
+    # restart from the same checkpoint — must complete and not double-apply
+    replay_stream(spark, log, os.path.join(tmpdir_path, "tbl"),
+                  checkpoint=ckpt, max_files_per_trigger=1)
+    _parity(t, base, ev)
+    # manifests unique per (run, epoch, seq)
+    run_id = run_id_for_checkpoint(ckpt)
+    commits = [(c["run_id"], c["epoch"], c["seq"]) for c in t.commits()]
+    assert len(commits) == len(set(commits))
+    assert all(c[0] == run_id for c in commits if c[0] != "bootstrap")
+    assert t.current_version() > v_after_crash
+
+
+def test_replayed_epoch_skipped_not_reapplied(spark, tmpdir_path):
+    """Re-delivered microbatch (same epoch id) is a manifest no-op."""
+    t, base = _bootstrap(spark, tmpdir_path, seed=21)
+    ev = gen_change_events(spark, 150, 300, seed=21)
+    log = os.path.join(tmpdir_path, "log")
+    write_event_log(ev, log, n_chunks=2)
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    replay_stream(spark, log, os.path.join(tmpdir_path, "tbl"), checkpoint=ckpt)
+    v = t.current_version()
+    # second run: same checkpoint, no new files → no epochs, no commits
+    replay_stream(spark, log, os.path.join(tmpdir_path, "tbl"), checkpoint=ckpt)
+    assert t.current_version() == v
+
+
+def test_quarantine_late_events(spark, tmpdir_path):
+    t, base = _bootstrap(spark, tmpdir_path, n_base=50, seed=5)
+    ev = gen_change_events(spark, 50, 200, seed=5, disorder_seconds=5)
+    # inject one pathologically late event (1h older than the rest)
+    late = spark.createDataFrame(
+        [(9999, None, "I", "late/r", "p", "c", "py", "late-body", None)], DDL
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_767_225_600 - 3600)))
+    full = ev.unionByName(late)
+    log = os.path.join(tmpdir_path, "log")
+    full.coalesce(1).write.parquet(log)
+    qpath = os.path.join(tmpdir_path, "quarantine")
+    replay_stream(
+        spark, log, os.path.join(tmpdir_path, "tbl"),
+        checkpoint=os.path.join(tmpdir_path, "ckpt"),
+        quarantine=(qpath, 600),
+    )
+    q = spark.read.parquet(qpath)
+    assert q.count() == 1 and q.first()["repo"] == "late/r"
+    assert t.read().filter("repo = 'late/r'").count() == 0
+    _parity(t, base, ev)  # oracle over the non-late events only
