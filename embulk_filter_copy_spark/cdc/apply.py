@@ -234,10 +234,11 @@ def apply_batch(
         eff_seq = EPOCH_DONE_SEQ if single_merge else seq
         if table.has_commit(run_id, epoch, eff_seq):
             continue
+        keys = tuple(table.key_columns)
         if dedup == "salted":
-            deduped = lww_dedup_salted(sub, lsn_col=lsn_col, n_salts=n_salts)
+            deduped = lww_dedup_salted(sub, keys=keys, lsn_col=lsn_col, n_salts=n_salts)
         else:
-            deduped = lww_dedup(sub, lsn_col=lsn_col)
+            deduped = lww_dedup(sub, keys=keys, lsn_col=lsn_col)
         deduped = deduped.persist()
         try:
             stats, lineage = _batch_stats(table, deduped, lsn_col)

@@ -1,0 +1,189 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design notes (100 TB corpus):
+  * exact dedup = hash-groupBy — one shuffle on a 16-byte digest; no content
+    comparison ever crosses the wire (only digests).
+  * MinHash: signatures via explode → groupBy(doc) with k min-aggregates —
+    Catalyst plans partial (map-side) mins, so the shuffle carries one
+    k-vector per doc, not the token stream. LSH banding turns O(n²) pair
+    generation into an equi-join on band keys (shuffle co-partitioned).
+  * n-gram Jaccard: inverted-index self-join (token → docs) with count
+    aggregation — never a cross join; hot tokens can be dropped by document
+    frequency (stop-shingle cut) to cap join fan-out.
+  * SimHash: per-bit majority vote folded into ONE groupBy with bit-level
+    aggregate expressions (no UDF); Hamming pairs via xor+bit_count after a
+    same-block equi-join.
+All hashes use the portable md5-60bit formula (queries/common.py) so DuckDB
+oracles can replay them bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.queries.common import spark_phash
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content digest."""
+    return (
+        df.withColumn("content_md5", F.md5(F.col(text_col)))
+        .groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_doc_id"))
+    )
+
+
+def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (doc, token) pairs — the shared first stage of the set-based
+    dedup family."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """k-permutation MinHash over the unigram token set: doc_id, mh0..mh{k-1}."""
+    tok = tokens(df, id_col, text_col)
+    aggs = [
+        F.min(F.expr(spark_phash("tok", f"mh{i}:"))).alias(f"mh{i}") for i in range(k)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    sig: DataFrame, bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL minhashes of any band are candidates.
+    Implemented as `bands` equi-joins on the band tuple (each co-partitioned
+    by its band key), unioned and de-duplicated."""
+    k = bands * rows_per_band
+    assert all(f"mh{i}" in sig.columns for i in range(k)), "signature too narrow"
+    pairs = None
+    for b in range(bands):
+        cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        a = sig.select(F.col(id_col).alias("a"), *cols)
+        c = sig.select(F.col(id_col).alias("b"), *cols)
+        j = a.join(c, cols).filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = j if pairs is None else pairs.unionByName(j)
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by n-gram-set Jaccard via an inverted-index join.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many docs
+    (stop-shingle cut) — the knob that keeps join fan-out bounded on a
+    100 TB corpus with hot shingles.
+    """
+    if n == 1:
+        sh = tokens(df, id_col, text_col).withColumnRenamed("tok", "sh")
+    else:
+        toks = F.split(F.col(text_col), " ")
+        grams = F.expr(
+            f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, -1)),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        )
+        sh = (
+            df.select(id_col, F.explode(grams).alias("sh"))
+            .filter(F.col("sh") != "")
+            .distinct()
+        )
+    if max_doc_freq is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_doc_freq).select("sh")
+        sh = sh.join(hot, "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "sh")
+    b = sh.select(F.col(id_col).alias("b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("sza") + F.col("szb") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over the unigram token set, all JVM-side expressions:
+    per bit, majority vote of token-hash bits; no UDF, one groupBy."""
+    tok = tokens(df, id_col, text_col).withColumn(
+        "h", F.expr(spark_phash("tok", "sim:"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(16):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 2,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance within a blocking column
+    (at scale the block is the LSH: split the 16 bits into bands and
+    equi-join; here blocking on a metadata column keeps the demo honest)."""
+    sh = simhash16(df, id_col, text_col).join(df.select(id_col, block_col), id_col)
+    a = sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), block_col)
+    b = sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), block_col)
+    return (
+        a.join(b, block_col)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.35, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (at scale: IVF
+    centroid assignment replaces the label block)."""
+    from embulk_filter_copy_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "label")
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "label")
+    return (
+        a.join(b, "label")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine_expr("va", "vb"), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("label", "a", "b", "cos")
+    )

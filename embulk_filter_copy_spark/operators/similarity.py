@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`ann_bruteforce_topk` — exact cosine top-k: broadcast the (small)
+  query set against the corpus; the corpus side never shuffles. This is the
+  correctness baseline.
+* :func:`ann_lsh_topk` — the scale path: random-hyperplane LSH buckets
+  (hyperplanes = a deterministic sample of corpus vectors, so the oracle can
+  replay them), candidates restricted to the query's bucket; top-k within
+  candidates. At 100 TB the bucket join replaces the full scan: corpus is
+  hash-partitioned by bucket id, queries broadcast per bucket.
+
+All vector math is JVM-side (`zip_with` + `aggregate` fold) — no Python in
+the inner loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        f" 0D, (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> F.Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def ann_bruteforce_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast(queries) × corpus, window top-k.
+    Cosine is rounded to 4dp BEFORE ranking so ranking is reproducible
+    across engines; ties break by neighbor id."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_expr("cv", "qv"), 4))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: hyperplanes are the first ``n_planes`` corpus
+    vectors by id (deterministic + oracle-replayable). Candidates = same
+    bucket; top-k by exact cosine within candidates."""
+    planes = (
+        emb.orderBy(id_col).limit(n_planes)
+        .select(F.col(id_col).alias("plane_id"), F.col(vec_col).alias("plane_v"))
+    )
+
+    def with_bucket(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        out = df
+        for i in range(n_planes):
+            p = planes.filter(F.col("plane_id") == F.lit(i)).select(
+                F.col("plane_v").alias(f"pl{i}")
+            )
+            out = out.crossJoin(F.broadcast(p))
+        bucket = F.lit(0)
+        for i in range(n_planes):
+            bit = F.when(dot_expr(vc, f"pl{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+            bucket = bucket + bit
+        return out.withColumn("bucket", bucket.cast("int")).drop(
+            *[f"pl{i}" for i in range(n_planes)]
+        )
+
+    c = with_bucket(emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "neighbor_id", "cv")
+    q = with_bucket(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "query_id", "qv")
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_expr("cv", "qv"), 4))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "rank", "neighbor_id", "cos")
+    )

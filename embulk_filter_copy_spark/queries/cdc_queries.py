@@ -1,0 +1,261 @@
+"""CDC-semantics queries over the `events` stream table.
+
+These exercise the engine's core semantics (LWW, dedup, salted two-phase
+aggregation, sessionization, event-time windows, as-of ordering) through the
+driver's correctness gate. `cdc_replay_events` is the flagship: it pushes the
+events table through the REAL LakeTable merge path (bucketed copy-on-write,
+manifests) and must land on the same final state as a window-function oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.queries.common import reps, sql_reps, t
+
+
+# ---------------------------------------------------------------------------
+def cdc_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay `events` as a CDC upsert log keyed by user_id through the
+    LakeTable merge path (4 epochs), then read the final table state."""
+    from embulk_filter_copy_spark.cdc.replayer import replay_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("U"))
+        .withColumnRenamed("event_id", "lsn")
+        .withColumn("schema_change", F.lit(None).cast("string"))
+    )
+    root = tempfile.mkdtemp(prefix="efc-replay-q-")
+    table = LakeTable.create(
+        spark,
+        f"{root}/t",
+        [("user_id", "long"), ("event_type", "string"), ("value", "double"), ("props", "string")],
+        key_columns=["user_id"],
+        n_buckets=16,
+    )
+    replay_batch(spark, ev, table, run_id="q-replay", n_epochs=4)
+    return table.read().select(
+        "user_id", "event_type", F.round("value", 6).alias("value"), "props"
+    )
+
+
+CDC_REPLAY_SQL = """
+SELECT user_id, event_type, round(value, 6) AS value, props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+def cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.round(F.max_by("value", "event_id"), 6).alias("last_value"),
+    )
+
+
+CDC_LWW_SQL = """
+SELECT user_id,
+       max(event_id) AS last_event_id,
+       arg_max(event_type, event_id) AS last_event_type,
+       round(arg_max(value, event_id), 6) AS last_value
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def cdc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+CDC_DEDUP_SQL = """
+SELECT event_type, count(*) AS n
+FROM (SELECT DISTINCT user_id, event_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+def cdc_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase local-combine/global-merge with an explicit salt
+    (north_rule skew pattern); must equal the plain GROUP BY oracle."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    local = ev.groupBy("event_type", "_salt").agg(
+        F.sum("value").alias("pv"), F.count(F.lit(1)).alias("pn")
+    )
+    return local.groupBy("event_type").agg(
+        reps(F.sum("pv"), 2).alias("total_value"),
+        F.sum("pn").alias("n"),
+    )
+
+
+CDC_SALTED_SQL = """
+SELECT event_type, round(sum(value) + 1e-9, 2) AS total_value, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+def cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    gap = tsd - F.lag(tsd).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    g = ev.withColumn("new_s", new_s)
+    return g.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+CDC_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def cdc_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), reps(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+CDC_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value) + 1e-9, 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+def cdc_out_of_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disorder measure: events whose ts regresses vs the previous event_id —
+    the bounded-disorder property the watermark relies on."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("event_id")
+    ooo = F.when(F.col("ts") < F.lag("ts").over(w), F.lit(1)).otherwise(F.lit(0))
+    return (
+        ev.withColumn("ooo", ooo)
+        .groupBy("event_type")
+        .agg(F.sum("ooo").alias("n_out_of_order"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+CDC_OOO_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CASE WHEN ts < lag(ts) OVER (PARTITION BY event_type ORDER BY event_id)
+              THEN 1 ELSE 0 END AS ooo
+  FROM events
+)
+SELECT event_type, CAST(sum(ooo) AS BIGINT) AS n_out_of_order, count(*) AS n
+FROM g GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for every click, the most
+    recent prior 'view' of the same user, via union + last(ignorenulls) over
+    (ts, event_id) ordering — the scalable pattern (no per-row probing)."""
+    ev = t(spark, sf_dir, "events")
+    marked = ev.withColumn(
+        "view_id", F.when(F.col("event_type") == "view", F.col("event_id"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = marked.withColumn("prior_view_id", F.last("view_id", ignorenulls=True).over(w))
+    return out.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "prior_view_id"
+    )
+
+
+ASOF_SQL = """
+SELECT c.event_id AS click_id, c.user_id,
+       (SELECT v.event_id FROM events v
+        WHERE v.user_id = c.user_id AND v.event_type = 'view'
+          AND (v.ts < c.ts OR (v.ts = c.ts AND v.event_id < c.event_id))
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS prior_view_id
+FROM events c WHERE c.event_type = 'click'
+"""
+
+
+# ---------------------------------------------------------------------------
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same hourly rollup computed THROUGH Structured Streaming
+    (readStream → tumbling event-time window → memory sink, availableNow) —
+    proves the streaming path yields batch-identical results."""
+    import uuid
+
+    schema = t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)  # the file source needs a directory, not a file
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), reps(F.sum("value"), 2).alias("total_value"))
+    )
+    qname = f"hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+QUERIES = {
+    "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
+    "cdc_lww_latest": (cdc_lww_latest, CDC_LWW_SQL),
+    "cdc_dedup_exact": (cdc_dedup_exact, CDC_DEDUP_SQL),
+    "cdc_salted_agg": (cdc_salted_agg, CDC_SALTED_SQL),
+    "cdc_sessionize": (cdc_sessionize, CDC_SESSIONIZE_SQL),
+    "cdc_hourly_rollup": (cdc_hourly_rollup, CDC_HOURLY_SQL),
+    "cdc_out_of_order_rate": (cdc_out_of_order_rate, CDC_OOO_SQL),
+    "asof_join_clicks": (asof_join_clicks, ASOF_SQL),
+    "streaming_hourly_counts": (streaming_hourly_counts, CDC_HOURLY_SQL),
+}

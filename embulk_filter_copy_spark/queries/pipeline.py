@@ -1,0 +1,325 @@
+"""Training-data pipeline queries over `documents` / `embeddings`, with
+DuckDB oracles replaying the SAME portable-hash / vector formulas.
+
+The corpus vocabulary is tiny (≈31 words), so set-similarity thresholds are
+tuned high (unigram Jaccard ≥ 0.9) — the operators themselves take n-gram
+size / thresholds as parameters (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.operators import dedup as D
+from embulk_filter_copy_spark.operators import multimodal as M
+from embulk_filter_copy_spark.operators import similarity as S
+from embulk_filter_copy_spark.operators import text as TX
+from embulk_filter_copy_spark.queries.common import duck_phash, reps, t
+
+_TOK_CTE = """
+tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+)
+"""
+
+
+# ------------------------------------------------------------- exact dedup
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- minhash
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(t(spark, sf_dir, "documents"), k=8)
+
+
+def _minhash_sig_sql(k: int = 8) -> str:
+    mins = ",\n       ".join(
+        f"min({duck_phash('tok', f'mh{i}:')}) AS mh{i}" for i in range(k)
+    )
+    return f"WITH {_TOK_CTE} SELECT doc_id, {mins} FROM tok GROUP BY doc_id"
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.minhash_signatures(t(spark, sf_dir, "documents"), k=8)
+    return D.minhash_candidate_pairs(sig, bands=4, rows_per_band=2)
+
+
+def _minhash_pairs_sql() -> str:
+    mins = ",\n       ".join(
+        f"min({duck_phash('tok', f'mh{i}:')}) AS mh{i}" for i in range(8)
+    )
+    bands = []
+    for b in range(4):
+        c0, c1 = f"mh{2 * b}", f"mh{2 * b + 1}"
+        bands.append(
+            f"SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y"
+            f" ON x.{c0} = y.{c0} AND x.{c1} = y.{c1} AND x.doc_id < y.doc_id"
+        )
+    return (
+        f"WITH {_TOK_CTE},\nsig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id)\n"
+        + "\nUNION\n".join(bands)
+    )
+
+
+# ------------------------------------------------------------- jaccard
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.9, n=1)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH {_TOK_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+  FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, jaccard FROM (
+  SELECT a, b, round(shared::DOUBLE / (sa.sz + sb.sz - shared), 6) AS jaccard
+  FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+) WHERE jaccard >= 0.9
+"""
+
+
+# ------------------------------------------------------------- simhash
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=2, block_col="lang")
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_TOK_CTE},
+th AS (SELECT doc_id, {duck_phash("tok", "sim:")} AS h FROM tok),
+votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(16) t(b) GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+d AS (SELECT s.doc_id, s.simhash, dd.lang FROM sh s JOIN documents dd USING (doc_id))
+SELECT a, b, hamming FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+  FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
+) WHERE hamming <= 2
+"""
+
+
+# ------------------------------------------------------------- embeddings
+_DCOS = (
+    "list_dot_product(x.e, y.e) / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))"
+)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+DEDUP_EMB_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT label, a, b, cos FROM (
+  SELECT x.label, x.vec_id AS a, y.vec_id AS b, round({_DCOS}, 4) AS cos
+  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+) WHERE cos >= 0.35
+"""
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ann_bruteforce_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+ANN_BRUTE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT y.vec_id AS query_id, x.vec_id AS neighbor_id, round({_DCOS}, 4) AS cos
+  FROM e x JOIN e y ON y.vec_id < 5 AND x.vec_id <> y.vec_id
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), n_planes=4, k=5)
+
+
+ANN_LSH_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (
+  SELECT vec_id, e,
+         (CASE WHEN list_dot_product(e, (SELECT e FROM e WHERE vec_id = 0)) > 0 THEN 1 ELSE 0 END
+        + CASE WHEN list_dot_product(e, (SELECT e FROM e WHERE vec_id = 1)) > 0 THEN 2 ELSE 0 END
+        + CASE WHEN list_dot_product(e, (SELECT e FROM e WHERE vec_id = 2)) > 0 THEN 4 ELSE 0 END
+        + CASE WHEN list_dot_product(e, (SELECT e FROM e WHERE vec_id = 3)) > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM e
+),
+scored AS (
+  SELECT y.vec_id AS query_id, x.bucket, x.vec_id AS neighbor_id,
+         round(list_dot_product(x.e, y.e) / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 4) AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND y.vec_id < 5 AND x.vec_id <> y.vec_id
+)
+SELECT query_id, bucket, rank, neighbor_id, cos FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# ------------------------------------------------------------- text analysis
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = TX.quality_score(t(spark, sf_dir, "documents"))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        reps(F.avg("ttr"), 4).alias("avg_ttr"),
+        reps(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_subtokens").alias("total_subtokens"),
+    )
+
+
+TEXT_QUALITY_SQL = """
+WITH f AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtokens,
+         length(text) AS n_chars
+  FROM documents
+),
+q AS (
+  SELECT source, n_subtokens,
+         round(n_distinct_tokens::DOUBLE / n_tokens, 4) AS ttr,
+         round(((n_chars - (n_tokens - 1))::DOUBLE / n_tokens), 4) AS mean_word_len,
+         round((CASE WHEN n_chars >= 100 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN n_distinct_tokens::DOUBLE / n_tokens BETWEEN 0.2 AND 0.9 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN (n_chars - (n_tokens - 1))::DOUBLE / n_tokens BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN n_tokens >= 20 THEN 0.25 ELSE 0 END), 2) AS quality
+  FROM f
+)
+SELECT source, count(*) AS n_docs, round(avg(ttr) + 1e-9, 4) AS avg_ttr,
+       round(avg(quality) + 1e-9, 4) AS avg_quality,
+       CAST(sum(n_subtokens) AS BIGINT) AS total_subtokens
+FROM q GROUP BY source
+"""
+
+
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = TX.lang_id(t(spark, sf_dir, "documents"))
+    return p.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _marker_sql(lang: str) -> str:
+    from embulk_filter_copy_spark.operators.text import LANG_MARKERS
+
+    parts = [
+        f"(CASE WHEN regexp_matches(text, '(^| ){w}( |$)') THEN 1 ELSE 0 END)"
+        for w in LANG_MARKERS[lang]
+    ]
+    return " + ".join(parts)
+
+
+def _lang_id_sql() -> str:
+    from embulk_filter_copy_spark.operators.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    hits = ",\n       ".join(f"{_marker_sql(lg)} AS h_{lg}" for lg in langs)
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    pred = "'und'"
+    for lg in reversed(langs):
+        pred = f"CASE WHEN h_{lg} = {best} AND {best} > 0 THEN '{lg}' ELSE {pred} END"
+    return f"""
+WITH h AS (SELECT lang, {hits} FROM documents)
+SELECT lang, pred_lang, count(*) AS n
+FROM (SELECT lang, {pred} AS pred_lang FROM h)
+GROUP BY lang, pred_lang
+"""
+
+
+def text_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = TX.fingerprint(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fingerprint"),
+    )
+
+
+TEXT_FP_SQL = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 1, 2))] AS grams
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+),
+fp AS (
+  SELECT doc_id, source,
+         list_aggregate(list_transform(grams, gg -> {duck_phash('gg', 'fp:')}), 'min') AS fingerprint
+  FROM g
+)
+SELECT source, count(*) AS n_docs, count(DISTINCT fingerprint) AS n_fingerprints,
+       min(fingerprint) AS min_fingerprint
+FROM fp GROUP BY source
+"""
+
+
+# ------------------------------------------------------------- multimodal
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = M.to_media_assets(t(spark, sf_dir, "documents"), "doc_id", "text", "text")
+    return M.extract_metadata(assets)
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id AS asset_id, 'text' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256,
+       lower(hex(encode(substr(text, 1, 4)))) AS magic
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = M.to_media_assets(t(spark, sf_dir, "documents"), "doc_id", "text", "text")
+    feats = M.decode_and_featurize(assets, n_features=8)
+    return feats.select(
+        "asset_id", F.posexplode("feature").alias("pos", "fv")
+    ).select("asset_id", "pos", F.round(F.col("fv").cast("double"), 4).alias("fv"))
+
+
+MULTIMODAL_FEAT_SQL = """
+WITH s AS (SELECT doc_id AS asset_id, sha256(text) AS sha FROM documents)
+SELECT asset_id, CAST(i AS INT) AS pos,
+       round((('0x' || substr(sha, 2 * i + 1, 2))::INT) / 255.0, 4) AS fv
+FROM s, range(8) t(i)
+"""
+
+
+QUERIES = {
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "dedup_minhash_signatures": (dedup_minhash_signatures, _minhash_sig_sql(8)),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, _minhash_pairs_sql()),
+    "dedup_jaccard_pairs": (dedup_jaccard_pairs, DEDUP_JACCARD_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
+    "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "text_quality_by_source": (text_quality_by_source, TEXT_QUALITY_SQL),
+    "text_lang_id_confusion": (text_lang_id_confusion, _lang_id_sql()),
+    "text_fingerprint_stats": (text_fingerprint_stats, TEXT_FP_SQL),
+    "multimodal_metadata": (multimodal_metadata, MULTIMODAL_META_SQL),
+    "multimodal_features": (multimodal_features, MULTIMODAL_FEAT_SQL),
+}
