@@ -90,12 +90,14 @@ def replay_stream(
     events_path: str,
     sinks: list[SinkSpec] | SinkSpec | str,
     checkpoint: str,
+    keys: tuple[str, ...] = ("repo", "path"),
     watermark: str = "10 minutes",
     max_files_per_trigger: int | None = None,
     dedup: str = "salted",
     n_salts: int = 16,
     quarantine: tuple[str, int] | None = None,
     fail_after_epoch: int | None = None,
+    event_schema: T.StructType | str | None = None,
 ) -> list[dict]:
     """Structured-Streaming replay of an event-log directory into N sinks.
 
@@ -112,7 +114,7 @@ def replay_stream(
     leaves = flatten_specs(sinks)
     run_id = run_id_for_checkpoint(checkpoint)
     applier = FanoutApplier(
-        spark, leaves, run_id, dedup=dedup, n_salts=n_salts, quarantine=quarantine
+        spark, leaves, run_id, keys=keys, dedup=dedup, n_salts=n_salts, quarantine=quarantine
     )
 
     if fail_after_epoch is not None:
@@ -129,7 +131,7 @@ def replay_stream(
 
         applier = _CrashAfter()
 
-    reader = spark.readStream.schema(event_struct())
+    reader = spark.readStream.schema(event_schema or event_struct())
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_path)
@@ -138,7 +140,7 @@ def replay_stream(
     # LSN guard downstream make this an optimization, not a correctness
     # dependency.
     stream = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["repo", "path", "lsn"]
+        [*keys, "lsn"]
     )
     q = (
         stream.writeStream.foreachBatch(applier)

@@ -92,8 +92,9 @@ def ngram_jaccard_pairs(
         sh = tokens(df, id_col, text_col).withColumnRenamed("tok", "sh")
     else:
         toks = F.split(F.col(text_col), " ")
+        # for docs shorter than n tokens this yields one short gram (i=0)
         grams = F.expr(
-            f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, -1)),"
+            f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)),"
             f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
         )
         sh = (

@@ -91,6 +91,37 @@ SELECT a, b, jaccard FROM (
 """
 
 
+def dedup_jaccard3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard — the scale-appropriate shingle: trigrams are
+    discriminative, so the inverted-index join fans out per near-dup pair
+    instead of per vocabulary word (the unigram variant degenerates on this
+    tiny-vocab corpus; see bench numbers)."""
+    return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8, n=3)
+
+
+DEDUP_JACCARD3_SQL = """
+WITH g AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, greatest(len(toks) - 1, 2))]) AS sh
+    FROM g
+  ) WHERE sh <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+  FROM tok x JOIN tok y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, jaccard FROM (
+  SELECT a, b, round(shared::DOUBLE / (sa.sz + sb.sz - shared), 6) AS jaccard
+  FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+) WHERE jaccard >= 0.8
+"""
+
+
 # ------------------------------------------------------------- simhash
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=2, block_col="lang")
@@ -313,6 +344,7 @@ QUERIES = {
     "dedup_minhash_signatures": (dedup_minhash_signatures, _minhash_sig_sql(8)),
     "dedup_minhash_pairs": (dedup_minhash_pairs, _minhash_pairs_sql()),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, DEDUP_JACCARD_SQL),
+    "dedup_jaccard3_pairs": (dedup_jaccard3_pairs, DEDUP_JACCARD3_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),

@@ -1,0 +1,141 @@
+"""Training-data operator tests: semantic sanity beyond the oracle parity
+suite (which checks cross-engine equality, not meaning)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.operators import dedup as D
+from embulk_filter_copy_spark.operators import multimodal as M
+from embulk_filter_copy_spark.operators import similarity as S
+from embulk_filter_copy_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s0"),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s0"),      # exact dup of 0
+        (2, "alpha beta gamma delta epsilon eta", "en", "s0"),       # near dup of 0
+        (3, "one two three four five six seven eight", "en", "s1"),  # unrelated
+        (4, "uno dos tres cuatro cinco seis", "es", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup_groups(docs):
+    g = D.exact_dedup_groups(docs).collect()
+    dup = [r for r in g if r["n_docs"] > 1]
+    assert len(dup) == 1 and dup[0]["n_docs"] == 2 and dup[0]["keep_doc_id"] == 0
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sig = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+           for r in D.minhash_signatures(docs, k=8).collect()}
+    assert sig[0] == sig[1]          # identical token sets
+    assert sig[0] != sig[3]          # disjoint token sets
+    shared_0_2 = sum(a == b for a, b in zip(sig[0], sig[2]))
+    assert shared_0_2 >= 2           # 5/7 jaccard → most minhashes agree
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    sig = D.minhash_signatures(docs, k=8)
+    pairs = {(r["a"], r["b"]) for r in D.minhash_candidate_pairs(sig, 4, 2).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_jaccard_pairs_values(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.5, n=1).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert abs(pairs[(0, 2)] - 5 / 7) < 1e-6  # operator rounds to 6dp
+    assert (0, 3) not in pairs
+
+
+def test_trigram_jaccard_stricter_than_unigram(docs):
+    uni = D.ngram_jaccard_pairs(docs, threshold=0.5, n=1).count()
+    tri = D.ngram_jaccard_pairs(docs, threshold=0.5, n=3).count()
+    assert tri <= uni
+    tri_pairs = {(r["a"], r["b"]) for r in D.ngram_jaccard_pairs(docs, threshold=0.99, n=3).collect()}
+    assert (0, 1) in tri_pairs  # exact dup survives any shingle size
+
+
+def test_simhash_hamming_orders_similarity(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash16(docs).collect()}
+    assert sh[0] == sh[1]
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(sh[0], sh[2]) <= ham(sh[0], sh[3]) + 8  # near-dup not far worse
+    pairs = {(r["a"], r["b"]) for r in D.simhash_pairs(docs, max_hamming=0).collect()}
+    assert (0, 1) in pairs
+
+
+def test_ann_bruteforce_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.ann_bruteforce_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]  # cosine ordering: closest first, antipode last
+
+
+def test_ann_lsh_bucket_candidates_subset(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id < 3")
+    brute = S.ann_bruteforce_topk(emb, queries, k=3)
+    lsh = S.ann_lsh_topk(emb, queries, n_planes=2, k=3)
+    # LSH top-1 neighbors must be real neighbors (subset of brute-force top-10)
+    brute10 = {(r["query_id"], r["neighbor_id"])
+               for r in S.ann_bruteforce_topk(emb, queries, k=10).collect()}
+    lsh1 = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect() if r["rank"] == 1}
+    assert lsh1 and lsh1 <= brute10
+
+
+def test_text_quality_and_tokens(docs):
+    q = {r["doc_id"]: r for r in TX.quality_score(docs).collect()}
+    assert q[0]["n_tokens"] == 6 and q[0]["n_distinct_tokens"] == 6
+    assert q[0]["ttr"] == 1.0
+    assert 0 <= q[0]["quality"] <= 1
+    assert q[0]["n_subtokens"] == sum(-(-len(w) // 4) for w in
+                                      "alpha beta gamma delta epsilon zeta".split())
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "el gato y la casa de madrid", "es"),
+        (2, "zzz qqq www", "und"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, expected string")
+    got = {r["doc_id"]: r["pred_lang"] for r in TX.lang_id(df).collect()}
+    assert got == {0: "en", 1: "es", 2: "und"}
+
+
+def test_fingerprint_equal_for_clones(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in TX.fingerprint(docs).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[3]
+
+
+def test_multimodal_metadata_and_stub_features(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, None)], "doc_id long, text string")
+    assets = M.to_media_assets(df, "doc_id", "text", "text")
+    meta = {r["asset_id"]: r for r in M.extract_metadata(assets).collect()}
+    assert meta[1]["byte_len"] == 5 and meta[1]["magic"] == "68656c6c"
+    import hashlib
+
+    assert meta[1]["sha256"] == hashlib.sha256(b"hello").hexdigest()
+    assert meta[2]["byte_len"] == 0 and meta[2]["sha256"] is None
+
+    feats = {r["asset_id"]: r for r in M.decode_and_featurize(assets, n_features=4).collect()}
+    assert len(feats[1]["feature"]) == 4
+    assert all(0 <= x <= 1 for x in feats[1]["feature"])
+    assert feats[1]["decoder"] == "stub-sha256"
+
+    with pytest.raises(Exception):  # NotImplementedError surfaced through Spark
+        M.decode_and_featurize(assets, real_codec=True).collect()

@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the properties that make these queries survive
+a 100× scale-up must be visible in the plan, not assumed — filter pushdown
+into the parquet scan, column pruning, broadcast joins for small dims,
+map-side partial aggregation, and manifest-level file pruning for merges."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.cdc.dedup import lww_dedup, lww_dedup_salted
+from embulk_filter_copy_spark.fixtures import gen_change_events
+from embulk_filter_copy_spark.queries.tpch import (
+    join_broadcast_segment,
+    join_anti_customers_without_orders,
+    join_semi_customers_with_orders,
+    q1_pricing_summary,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    df = q1_pricing_summary(spark, SF)
+    p = plan(df)
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:200]
+    # pruned read schema: no l_orderkey/l_partkey in the scan
+    read_schema = p.split("ReadSchema", 1)[1][:400]
+    assert "l_quantity" in read_schema and "l_orderkey" not in read_schema
+    # the aggregation stays inside whole-stage codegen
+    assert "Found" in plan(df, "codegen") and "WholeStageCodegen" in plan(df, "codegen")
+
+
+def test_broadcast_join_for_small_dim(spark):
+    p = plan(join_broadcast_segment(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in plan(join_semi_customers_with_orders(spark, SF))
+    assert "LeftAnti" in plan(join_anti_customers_without_orders(spark, SF))
+
+
+def test_lww_dedup_has_partial_aggregation(spark):
+    ev = gen_change_events(spark, 100, 500, seed=1)
+    p = plan(lww_dedup(ev))
+    # Catalyst plans partial (map-side) + final max_by around one shuffle
+    assert p.count("max_by") >= 2 or "partial_max_by" in p
+
+
+def test_salted_dedup_two_shuffles_bounded_keys(spark):
+    ev = gen_change_events(spark, 100, 500, seed=1)
+    import re
+
+    p = plan(lww_dedup_salted(ev, n_salts=8))
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    # phase 1 shuffles on (keys, salt), phase 2 on keys only
+    assert len(exchanges) == 2
+    assert any("_salt" in e for e in exchanges)
+    assert any("_salt" not in e for e in exchanges)
+
+
+def test_events_scan_prunes_partitions_by_lsn(spark):
+    ev = gen_change_events(spark, 100, 500, seed=1)
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="efc-plan-")
+    ev.write.parquet(os.path.join(d, "ev"))
+    df = spark.read.parquet(os.path.join(d, "ev")).filter(F.col("lsn") > 400)
+    p = plan(df)
+    assert "PushedFilters" in p and "GreaterThan(lsn,400)" in p
