@@ -1,0 +1,126 @@
+"""spark-submit entry point.
+
+Usage (cluster; --py-files ships the package, north_rule deployment shape):
+
+    zip -r efc.zip embulk_filter_copy_spark
+    spark-submit --py-files efc.zip -m ... embulk_filter_copy_spark/cli.py \
+        bootstrap --table /lake/repo_files --snapshot /data/base.parquet \
+        --keys repo,path --buckets 4096
+    spark-submit --py-files efc.zip embulk_filter_copy_spark/cli.py \
+        replay --events /wal --sink /lake/repo_files \
+        --checkpoint /ckpt/run1 --follow
+
+Local smoke:  python -m embulk_filter_copy_spark.cli replay --help
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from embulk_filter_copy_spark.session import get_spark
+
+    return get_spark(app_name=f"efc-{args.cmd}", master=args.master)
+
+
+def cmd_bootstrap(args) -> None:
+    from pyspark.sql import functions as F
+
+    from embulk_filter_copy_spark.lake.schema import TableSchema
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    snap = spark.read.parquet(args.snapshot)
+    schema = TableSchema.from_struct(snap.schema)
+    table = LakeTable.create(
+        spark, args.table, schema, key_columns=args.keys.split(","), n_buckets=args.buckets
+    )
+    table.append(snap.withColumn("_lsn", F.lit(0)))
+    print(json.dumps({"table": args.table, "rows": table.row_count(), "buckets": args.buckets}))
+
+
+def cmd_replay(args) -> None:
+    from embulk_filter_copy_spark.cdc.replayer import replay_stream
+    from embulk_filter_copy_spark.cdc.splitter import SinkSpec
+
+    spark = _spark(args)
+    if args.sink_spec:
+        with open(args.sink_spec) as f:
+            sinks = _parse_spec(json.load(f))
+    else:
+        sinks = [SinkSpec(name=f"sink{i}", path=p) for i, p in enumerate(args.sink)]
+    results = replay_stream(
+        spark,
+        args.events,
+        sinks,
+        checkpoint=args.checkpoint,
+        keys=tuple(args.keys.split(",")),
+        watermark=args.watermark,
+        max_files_per_trigger=args.max_files_per_trigger,
+        n_salts=args.salts,
+        quarantine=(args.quarantine, args.quarantine_delta) if args.quarantine else None,
+    )
+    print(json.dumps({"epochs": len(results), "rows_applied": sum(r.get("rows_applied", 0) for r in results)}))
+
+
+def _parse_spec(d: dict):
+    from embulk_filter_copy_spark.cdc.splitter import SinkSpec
+
+    return SinkSpec(
+        name=d["name"],
+        path=d.get("path"),
+        transforms=tuple(tuple(t) for t in d.get("transforms", [])),
+        children=tuple(_parse_spec(c) for c in d.get("children", [])),
+    )
+
+
+def cmd_compact(args) -> None:
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    res = table.compact(
+        purge_tombstones=args.purge_tombstones,
+        max_files_per_bucket=args.max_files_per_bucket,
+    )
+    print(json.dumps(res))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="embulk_filter_copy_spark")
+    p.add_argument("--master", default=None, help="override spark master (default: local[cpus])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bootstrap", help="create a LakeTable from a parquet snapshot")
+    b.add_argument("--table", required=True)
+    b.add_argument("--snapshot", required=True)
+    b.add_argument("--keys", default="repo,path")
+    b.add_argument("--buckets", type=int, default=64)
+
+    r = sub.add_parser("replay", help="stream-replay a WAL directory into sinks")
+    r.add_argument("--events", required=True)
+    r.add_argument("--sink", action="append", default=[], help="sink table path (repeatable)")
+    r.add_argument("--sink-spec", help="JSON file with a nested SinkSpec tree")
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--keys", default="repo,path")
+    r.add_argument("--watermark", default="10 minutes")
+    r.add_argument("--max-files-per-trigger", type=int, default=None)
+    r.add_argument("--salts", type=int, default=16)
+    r.add_argument("--quarantine", default=None, help="parquet path for late events")
+    r.add_argument("--quarantine-delta", type=int, default=600)
+
+    c = sub.add_parser("compact", help="compact small files / purge tombstones")
+    c.add_argument("--table", required=True)
+    c.add_argument("--purge-tombstones", action="store_true")
+    c.add_argument("--max-files-per-bucket", type=int, default=1)
+
+    args = p.parse_args(argv)
+    {"bootstrap": cmd_bootstrap, "replay": cmd_replay, "compact": cmd_compact}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

@@ -343,6 +343,42 @@ class LakeTable:
         return False
 
     # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        purge_tombstones: bool = False,
+        max_files_per_bucket: int = 1,
+    ) -> dict:
+        """Rewrite fragmented buckets (small-file compaction) and optionally
+        drop tombstones — safe once every producer's watermark has passed
+        the tombstone LSNs, since a purged tombstone can no longer shield
+        against a late lower-LSN insert. The Iceberg-maintenance analogue;
+        at scale this runs as a background job per bucket range."""
+        by_bucket: dict[int, int] = {}
+        for f in self.files(buckets):
+            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        targets = sorted(
+            b for b, n in by_bucket.items() if n > max_files_per_bucket or purge_tombstones
+        )
+        if not targets:
+            return {"buckets_compacted": [], "files_before": 0}
+        files_before = len(self.files(targets))
+        df = self.read(include_meta=True, buckets=targets)
+        if purge_tombstones:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        res = self.replace_buckets(
+            targets, df, commit={"run_id": "__compaction__", "epoch": self.current_version(), "seq": 0}
+        )
+        return {
+            "buckets_compacted": targets,
+            "files_before": files_before,
+            "files_after": res["files_added"],
+            "rows": res["rows"],
+        }
+
+    # ------------------------------------------------------------------
     # stats
     # ------------------------------------------------------------------
     def row_count(self) -> int:
