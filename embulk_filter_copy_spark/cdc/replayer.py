@@ -50,6 +50,7 @@ class FanoutApplier:
         dedup: str = "salted",
         n_salts: int = 16,
         quarantine: tuple[str, int] | None = None,
+        merge_mode: str = "cow",
     ):
         self.spark = spark
         self.leaves = leaves
@@ -58,6 +59,7 @@ class FanoutApplier:
         self.dedup = dedup
         self.n_salts = n_salts
         self.quarantine = quarantine
+        self.merge_mode = merge_mode
         self.results: list[dict] = []
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -78,6 +80,7 @@ class FanoutApplier:
                     dedup=self.dedup,
                     n_salts=self.n_salts,
                     quarantine=self.quarantine,
+                    merge_mode=self.merge_mode,
                 )
                 res["sink"] = leaf.name
                 self.results.append(res)
@@ -98,6 +101,8 @@ def replay_stream(
     quarantine: tuple[str, int] | None = None,
     fail_after_epoch: int | None = None,
     event_schema: T.StructType | str | None = None,
+    merge_mode: str = "cow",
+    progress_dir: str | None = None,
 ) -> list[dict]:
     """Structured-Streaming replay of an event-log directory into N sinks.
 
@@ -114,7 +119,8 @@ def replay_stream(
     leaves = flatten_specs(sinks)
     run_id = run_id_for_checkpoint(checkpoint)
     applier = FanoutApplier(
-        spark, leaves, run_id, keys=keys, dedup=dedup, n_salts=n_salts, quarantine=quarantine
+        spark, leaves, run_id, keys=keys, dedup=dedup, n_salts=n_salts,
+        quarantine=quarantine, merge_mode=merge_mode,
     )
 
     if fail_after_epoch is not None:
@@ -131,10 +137,21 @@ def replay_stream(
 
         applier = _CrashAfter()
 
+    recorder = None
+    if progress_dir is not None:
+        from embulk_filter_copy_spark.streaming.metrics import ProgressRecorder
+
+        recorder = ProgressRecorder(progress_dir)
+        spark.streams.addListener(recorder)
+
     reader = spark.readStream.schema(event_schema or event_struct())
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_path)
+    if progress_dir is not None:
+        from embulk_filter_copy_spark.streaming.metrics import with_observed_metrics
+
+        stream = with_observed_metrics(stream)
     # watermarked dedup of exact re-deliveries on the north_star key
     # (repo, path, lsn); state is bounded by the watermark. LWW + the merge
     # LSN guard downstream make this an optimization, not a correctness
@@ -154,6 +171,9 @@ def replay_stream(
         if fail_after_epoch is None:
             raise
         # injected crash: swallow, caller restarts from checkpoint
+    finally:
+        if recorder is not None:
+            spark.streams.removeListener(recorder)
     return applier.results
 
 
@@ -165,6 +185,7 @@ def replay_batch(
     n_epochs: int = 1,
     dedup: str = "salted",
     n_salts: int = 16,
+    merge_mode: str = "cow",
 ) -> list[dict]:
     """Bounded replay without the streaming machinery: split the log into
     ``n_epochs`` contiguous LSN ranges and apply them in order. Used by M1
@@ -181,6 +202,9 @@ def replay_batch(
         e_hi = lo + int((e + 1) * span) if e < n_epochs - 1 else hi + 1
         chunk = events.filter((F.col("lsn") >= e_lo) & (F.col("lsn") < e_hi))
         results.append(
-            apply_batch(table, chunk, run_id=run_id, epoch=e, dedup=dedup, n_salts=n_salts)
+            apply_batch(
+                table, chunk, run_id=run_id, epoch=e, dedup=dedup,
+                n_salts=n_salts, merge_mode=merge_mode,
+            )
         )
     return results

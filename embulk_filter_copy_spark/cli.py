@@ -62,6 +62,7 @@ def cmd_replay(args) -> None:
         max_files_per_trigger=args.max_files_per_trigger,
         n_salts=args.salts,
         quarantine=(args.quarantine, args.quarantine_delta) if args.quarantine else None,
+        merge_mode=args.merge_mode,
     )
     print(json.dumps({"epochs": len(results), "rows_applied": sum(r.get("rows_applied", 0) for r in results)}))
 
@@ -109,6 +110,8 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--watermark", default="10 minutes")
     r.add_argument("--max-files-per-trigger", type=int, default=None)
     r.add_argument("--salts", type=int, default=16)
+    r.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                   help="cow = read-optimized rewrite; mor = write-optimized delta append")
     r.add_argument("--quarantine", default=None, help="parquet path for late events")
     r.add_argument("--quarantine-delta", type=int, default=600)
 

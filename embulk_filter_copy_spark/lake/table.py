@@ -189,20 +189,23 @@ class LakeTable:
 
         Files written under older schema versions are projected to the
         current schema by field id (rename = alias, widen = cast, added
-        column = null). Logical reads hide metadata columns and tombstones.
+        column = null). If the snapshot contains merge-on-read delta files,
+        the scan resolves last-writer-wins per key over base+delta rows
+        (max ``_lsn``, delta preferred on ties). Logical reads hide
+        metadata columns and tombstones.
         """
         files = self.files(buckets)
         cur = self.schema
+        has_deltas = any(f.get("kind") == "delta" for f in files)
         if not files:
             df = self._empty_df(include_meta=True)
         else:
-            by_sv: dict[int, list[str]] = {}
+            by_group: dict[tuple[int, bool], list[str]] = {}
             for f in files:
-                by_sv.setdefault(f["schema_version"], []).append(
-                    os.path.join(self.path, f["path"])
-                )
+                key = (f["schema_version"], f.get("kind") == "delta")
+                by_group.setdefault(key, []).append(os.path.join(self.path, f["path"]))
             parts = []
-            for sv, paths in sorted(by_sv.items()):
+            for (sv, is_delta), paths in sorted(by_group.items()):
                 old = self.schema_at(sv)
                 file_struct = old.to_struct()
                 for n, t in META_FIELDS:
@@ -216,10 +219,24 @@ class LakeTable:
                     else:
                         cols.append(F.col(of.name).cast(spark_type(cf.type)).alias(cf.name))
                 cols += [F.col(n) for n in META_NAMES]
+                cols.append(F.lit(is_delta).alias("_is_delta"))
                 parts.append(raw.select(*cols))
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
+            if has_deltas:
+                # merge-on-read resolution: one winner per key by (lsn, delta)
+                keys = self.key_columns
+                payload = [c for c in df.columns if c not in keys]
+                order = F.struct(
+                    F.coalesce(F.col("_lsn"), F.lit(-1)), F.col("_is_delta")
+                )
+                df = (
+                    df.groupBy(*keys)
+                    .agg(F.max_by(F.struct(*payload), order).alias("_w"))
+                    .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
+                )
+            df = df.drop("_is_delta")
         if not include_meta:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*META_NAMES)
         return df
@@ -244,7 +261,7 @@ class LakeTable:
                 cols.append(dflt.cast(spark_type(t)).alias(n))
         return df.select(*cols)
 
-    def _write_data_files(self, df: DataFrame, commit_dir: str) -> list[dict]:
+    def _write_data_files(self, df: DataFrame, commit_dir: str, kind: str = "base") -> list[dict]:
         """Write df into data/<commit_dir>/_bucket=*/ and return file entries."""
         out_dir = os.path.join(self.path, "data", commit_dir)
         staged = self._prepare_write(df).withColumn("_bucket", self.bucket_expr())
@@ -259,14 +276,15 @@ class LakeTable:
             rows = pq.ParquetFile(p).metadata.num_rows
             if rows == 0:
                 continue
-            entries.append(
-                {
-                    "path": os.path.relpath(p, self.path),
-                    "bucket": bucket,
-                    "rows": rows,
-                    "schema_version": sv,
-                }
-            )
+            entry = {
+                "path": os.path.relpath(p, self.path),
+                "bucket": bucket,
+                "rows": rows,
+                "schema_version": sv,
+            }
+            if kind != "base":
+                entry["kind"] = kind
+            entries.append(entry)
         return entries
 
     def append(self, df: DataFrame, commit: dict | None = None) -> dict:
@@ -277,6 +295,26 @@ class LakeTable:
             snap["commits"] = snap["commits"] + [dict(commit, committed_at=time.time())]
         self._write_snapshot(snap)
         return {"files_added": len(entries), "rows": sum(e["rows"] for e in entries)}
+
+    def append_delta(self, df: DataFrame, commit: dict | None = None) -> dict:
+        """Merge-on-read write path: append a per-key-unique delta batch
+        (rows carry ``_lsn``; deletes as ``_deleted=true`` tombstone rows)
+        WITHOUT reading or rewriting the base — O(batch) work. Readers
+        resolve LWW at scan time; ``compact()`` folds deltas back into base
+        files. This is the Iceberg-v2 MOR trade: maximum ingest throughput,
+        read cost deferred to scan/compaction."""
+        snap = self._next_snapshot()
+        entries = self._write_data_files(
+            df, f"d{snap['version']:08d}-{uuid.uuid4().hex[:8]}", kind="delta"
+        )
+        snap["files"] = snap["files"] + entries
+        if commit:
+            snap["commits"] = snap["commits"] + [dict(commit, committed_at=time.time())]
+        self._write_snapshot(snap)
+        return {"files_added": len(entries), "rows": sum(e["rows"] for e in entries)}
+
+    def delta_file_count(self, buckets: list[int] | None = None) -> int:
+        return sum(1 for f in self.files(buckets) if f.get("kind") == "delta")
 
     def replace_buckets(
         self, buckets: list[int], df: DataFrame, commit: dict | None = None
@@ -357,10 +395,15 @@ class LakeTable:
         against a late lower-LSN insert. The Iceberg-maintenance analogue;
         at scale this runs as a background job per bucket range."""
         by_bucket: dict[int, int] = {}
+        delta_buckets = set()
         for f in self.files(buckets):
             by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+            if f.get("kind") == "delta":
+                delta_buckets.add(f["bucket"])
         targets = sorted(
-            b for b, n in by_bucket.items() if n > max_files_per_bucket or purge_tombstones
+            b
+            for b, n in by_bucket.items()
+            if n > max_files_per_bucket or purge_tombstones or b in delta_buckets
         )
         if not targets:
             return {"buckets_compacted": [], "files_before": 0}
