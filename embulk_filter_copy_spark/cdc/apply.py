@@ -29,7 +29,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from embulk_filter_copy_spark.cdc.dedup import lww_dedup, lww_dedup_salted
@@ -187,8 +187,17 @@ def apply_batch(
     op_col: str = "op",
     quarantine: tuple[str, int] | None = None,
     merge_mode: str = "cow",
+    exact_applied: bool = True,
 ) -> dict:
     """Apply one microbatch epoch to `table`, exactly once.
+
+    ``exact_applied``: count post-dedup applied rows via ``observe()``
+    (free — collected during the merge's own write job). MUST be False when
+    called from inside a streaming ``foreachBatch``: the JVM-side
+    ``Observation.get`` never receives its listener event there and
+    deadlocks the microbatch thread. Without it, MOR still reports the exact
+    delta-row count (from the written file manifest); COW reports the source
+    row count.
 
     ``merge_mode``: 'cow' (copy-on-write — read+join+rewrite affected
     buckets; read-optimized) or 'mor' (merge-on-read — append delta files
@@ -209,21 +218,106 @@ def apply_batch(
         return {"skipped": True, "run_id": run_id, "epoch": epoch}
 
     t0 = time.time()
-    schema_events = sorted(
-        (
-            (r[lsn_col], json.loads(r["schema_change"]))
-            for r in batch.filter(F.col(op_col) == "S")
-            .select(lsn_col, "schema_change")
-            .collect()
-        ),
-        key=lambda x: x[0],
+    # ---- fused pre-pass: ONE job over the raw batch yields per-partition
+    # lineage (source LSN range + rows), affected buckets, the late-data
+    # threshold input, and any schema-change rows — instead of one job each.
+    is_data = F.col(op_col) != "S"
+    agg_cols = [
+        F.min(F.when(is_data, F.col(lsn_col))).alias("lsn_min"),
+        F.max(F.when(is_data, F.col(lsn_col))).alias("lsn_max"),
+        F.sum(F.when(is_data, F.lit(1)).otherwise(F.lit(0))).alias("rows"),
+        F.collect_set(F.when(is_data, F.col("_bucket"))).alias("buckets"),
+        F.max(F.when(is_data, F.col("ts"))).alias("ts_max"),
+    ]
+    has_schema_col = "schema_change" in batch.columns
+    if has_schema_col:
+        agg_cols.append(
+            F.collect_list(
+                F.when(~is_data, F.struct(F.col(lsn_col).alias("l"), F.col("schema_change").alias("p")))
+            ).alias("s_rows")
+        )
+    prows = (
+        batch.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_bucket", table.bucket_expr())
+        .groupBy("_pid")
+        .agg(*agg_cols)
+        .collect()
     )
-    data = batch.filter(F.col(op_col) != "S")
+    schema_events = sorted(
+        (s["l"], json.loads(s["p"]))
+        for r in prows
+        for s in (r["s_rows"] if has_schema_col else [])
+    )
+    data = batch.filter(is_data)
+
+    if not schema_events and quarantine is None:
+        # ---- fast path (the steady-state shape): no schema boundary, no
+        # late-data quarantine → a single dedup→merge unit whose applied-row
+        # count is observed DURING the merge write (CollectMetrics), so the
+        # whole epoch costs two jobs: stats + merge.
+        raw_rows = sum(r["rows"] for r in prows)
+        if raw_rows == 0:
+            return {
+                "skipped": False, "run_id": run_id, "epoch": epoch,
+                "rows_applied": 0, "buckets": [], "quarantined": 0,
+                "duration_sec": time.time() - t0,
+            }
+        buckets = sorted({b for r in prows for b in r["buckets"]})
+        lsn_lo = min(r["lsn_min"] for r in prows if r["lsn_min"] is not None)
+        lsn_hi = max(r["lsn_max"] for r in prows if r["lsn_max"] is not None)
+        keys = tuple(table.key_columns)
+        if dedup == "salted":
+            deduped = lww_dedup_salted(data, keys=keys, lsn_col=lsn_col, n_salts=n_salts)
+        else:
+            deduped = lww_dedup(data, keys=keys, lsn_col=lsn_col)
+        obs = None
+        if exact_applied:
+            obs = Observation()
+            deduped = deduped.observe(obs, F.count(F.lit(1)).alias("applied"))
+        commit = {
+            "run_id": run_id,
+            "epoch": epoch,
+            "seq": EPOCH_DONE_SEQ,
+            "lsn_min": lsn_lo,
+            "lsn_max": lsn_hi,
+            # manifest records the SOURCE row count covered by this commit
+            # (pre-dedup); the exact applied count lands in the lineage file
+            "rows_applied": raw_rows,
+        }
+        if merge_mode == "mor":
+            ret = append_delta_batch(table, deduped, commit, lsn_col=lsn_col, op_col=op_col)
+        else:
+            ret = merge_into(table, deduped, commit, buckets=buckets, lsn_col=lsn_col, op_col=op_col)
+        if obs is not None:
+            applied = int(obs.get["applied"])
+        elif merge_mode == "mor":
+            applied = int(ret["rows"])  # delta rows written == applied
+        else:
+            applied = raw_rows  # source rows covered (upper bound)
+        dur = max(time.time() - t0, 1e-9)
+        lineage = [
+            {"partition_id": r["_pid"], "lsn_min": r["lsn_min"],
+             "lsn_max": r["lsn_max"], "rows": r["rows"]}
+            for r in prows if r["rows"]
+        ]
+        _write_lineage(
+            table, run_id, epoch, EPOCH_DONE_SEQ, lineage,
+            {"rows": applied, "duration_sec": dur, "events_per_sec": applied / dur},
+        )
+        return {
+            "skipped": False,
+            "run_id": run_id,
+            "epoch": epoch,
+            "rows_applied": applied,
+            "buckets": buckets,
+            "quarantined": 0,
+            "duration_sec": time.time() - t0,
+        }
 
     quarantined = 0
     if quarantine is not None:
         qpath, delta = quarantine
-        ts_max = data.agg(F.max("ts")).collect()[0][0]
+        ts_max = max((r["ts_max"] for r in prows if r["ts_max"] is not None), default=None)
         if ts_max is not None:
             threshold = ts_max.timestamp() - delta
             late = data.filter(F.col("ts").cast("double") < F.lit(threshold))

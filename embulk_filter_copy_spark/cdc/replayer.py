@@ -81,6 +81,7 @@ class FanoutApplier:
                     n_salts=self.n_salts,
                     quarantine=self.quarantine,
                     merge_mode=self.merge_mode,
+                    exact_applied=False,  # Observation.get deadlocks in foreachBatch
                 )
                 res["sink"] = leaf.name
                 self.results.append(res)
@@ -191,6 +192,11 @@ def replay_batch(
     ``n_epochs`` contiguous LSN ranges and apply them in order. Used by M1
     correctness tests and the throughput benchmark (same apply path as
     streaming — foreachBatch calls the identical ``apply_batch``)."""
+    if n_epochs == 1:
+        # single-epoch: no LSN range split needed — skip the bounds scan
+        # (one less serial job; empty input degenerates to a 0-row epoch)
+        return [apply_batch(table, events, run_id=run_id, epoch=0, dedup=dedup,
+                            n_salts=n_salts, merge_mode=merge_mode)]
     bounds = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
     lo, hi = bounds[0], bounds[1]
     results = []

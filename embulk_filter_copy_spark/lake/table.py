@@ -32,6 +32,7 @@ import os
 import tempfile
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -266,14 +267,23 @@ class LakeTable:
         out_dir = os.path.join(self.path, "data", commit_dir)
         staged = self._prepare_write(df).withColumn("_bucket", self.bucket_expr())
         # one shuffle keyed by bucket so each bucket's rows land contiguously;
-        # at cluster scale this is the co-partitioning the MERGE join reuses
-        staged = staged.repartition("_bucket")
+        # at cluster scale this is the co-partitioning the MERGE join reuses.
+        # Width > cores: with exactly `cores` partitions the 64 bucket values
+        # hash-collide unevenly (binomial) and the worst task strides the
+        # whole write stage; 4x cores keeps ≤2 buckets per task
+        n_buckets = int(self.snapshot()["n_buckets"])
+        width = min(n_buckets, 4 * self.spark.sparkContext.defaultParallelism)
+        staged = staged.repartition(width, F.col("_bucket"))
         staged.write.mode("errorifexists").partitionBy("_bucket").parquet(out_dir)
-        entries = []
         sv = self.snapshot()["schema_version"]
-        for p in sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet"))):
+        paths = sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet")))
+        # footer reads are per-file driver I/O — overlap them (64+ buckets
+        # per commit would otherwise serialize into ~1s of epoch latency)
+        with ThreadPoolExecutor(max_workers=min(16, max(len(paths), 1))) as ex:
+            row_counts = list(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths))
+        entries = []
+        for p, rows in zip(paths, row_counts):
             bucket = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
-            rows = pq.ParquetFile(p).metadata.num_rows
             if rows == 0:
                 continue
             entry = {

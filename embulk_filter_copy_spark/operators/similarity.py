@@ -59,6 +59,59 @@ def ann_bruteforce_topk(
     )
 
 
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN (coarse quantizer + inverted lists): centroids are the
+    first ``n_cells`` corpus vectors by id (deterministic + oracle-replayable,
+    standing in for a k-means pass), every vector is assigned to its
+    max-cosine cell (ties → lowest cell id), and candidates are restricted to
+    the query's cell (nprobe=1). At scale the corpus is hash-partitioned by
+    ``cell`` so each inverted list is co-located and the probe is a
+    broadcast-per-cell join instead of a full scan; cell-to-centroid cosines
+    are rounded to 6dp before the argmax so the assignment is reproducible
+    across engines."""
+    cents = (
+        emb.orderBy(id_col).limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v"))
+    )
+
+    def with_cell(df: DataFrame, vc: str) -> DataFrame:
+        out = df
+        for i in range(n_cells):
+            c = cents.filter(F.col("cent_id") == F.lit(i)).select(
+                F.col("cent_v").alias(f"ct{i}")
+            )
+            out = out.crossJoin(F.broadcast(c))
+        cos = [F.round(cosine_expr(vc, f"ct{i}"), 6) for i in range(n_cells)]
+        best = F.greatest(*cos)
+        cell = F.lit(-1)
+        for i in reversed(range(n_cells)):  # outermost when = cell 0 → lowest wins ties
+            cell = F.when(cos[i] == best, F.lit(i)).otherwise(cell)
+        return out.withColumn("cell", cell.cast("int")).drop(
+            *[f"ct{i}" for i in range(n_cells)]
+        )
+
+    c = with_cell(emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv")
+    q = with_cell(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv")
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_expr("cv", "qv"), 4))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "rank", "neighbor_id", "cos")
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

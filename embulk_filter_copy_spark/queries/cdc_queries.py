@@ -248,6 +248,71 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_range_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: purchases within 1 hour after a click by the same
+    user. Equi-key on user_id keeps it a plain shuffle/broadcast hash join
+    with the time band as a residual predicate — at 100 TB this co-locates by
+    user instead of exploding a pure theta-join."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    j = clicks.join(buys, "user_id").filter(
+        (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return j.select(
+        "user_id", "click_id", "purchase_id", reps(F.col("value"), 2).alias("purchase_value")
+    )
+
+
+JOIN_RANGE_SQL = """
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, click_id, purchase_id, round(value + 1e-9, 2) AS purchase_value
+FROM c JOIN p ON c.user_id = p.user_id
+ AND purchase_ts > click_ts AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+"""
+
+
+def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all four grouping sets in one
+    pass (Catalyst expands + partial-aggregates map-side). Null grouping keys
+    are coalesced to sentinels so totals are unambiguous cross-engine."""
+    e = t(spark, sf_dir, "events").withColumn("hour_of_day", F.hour("ts"))
+    c = e.cube("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n"), reps(F.sum("value"), 2).alias("total_value")
+    )
+    return c.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce("hour_of_day", F.lit(-1)).cast("int").alias("hour_of_day"),
+        "n",
+        "total_value",
+    )
+
+
+AGG_CUBE_SQL = """
+WITH g AS (
+  SELECT event_type, hour(ts) AS hour_of_day, count(*) AS n,
+         round(sum(value) + 1e-9, 2) AS total_value
+  FROM events GROUP BY CUBE (event_type, hour(ts))
+)
+SELECT coalesce(event_type, '<all>') AS event_type,
+       CAST(coalesce(hour_of_day, -1) AS INT) AS hour_of_day, n, total_value
+FROM g
+"""
+
+
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
     "cdc_lww_latest": (cdc_lww_latest, CDC_LWW_SQL),
@@ -257,5 +322,7 @@ QUERIES = {
     "cdc_hourly_rollup": (cdc_hourly_rollup, CDC_HOURLY_SQL),
     "cdc_out_of_order_rate": (cdc_out_of_order_rate, CDC_OOO_SQL),
     "asof_join_clicks": (asof_join_clicks, ASOF_SQL),
+    "join_range_click_purchase": (join_range_click_purchase, JOIN_RANGE_SQL),
+    "agg_cube_events": (agg_cube_events, AGG_CUBE_SQL),
     "streaming_hourly_counts": (streaming_hourly_counts, CDC_HOURLY_SQL),
 }

@@ -184,6 +184,43 @@ SELECT query_id, rank, neighbor_id, cos FROM (
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_cells=4, k=5)
+
+
+def _ivf_sql(n_cells: int = 4, k: int = 5) -> str:
+    def cent_cos(i: int) -> str:
+        ci = f"(SELECT e FROM e WHERE vec_id = {i})"
+        return (
+            f"round(list_dot_product(e, {ci})"
+            f" / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product({ci}, {ci}))), 6)"
+        )
+
+    cols = ",\n         ".join(f"{cent_cos(i)} AS c{i}" for i in range(n_cells))
+    best = "greatest(" + ", ".join(f"c{i}" for i in range(n_cells)) + ")"
+    cell = "-1"
+    for i in reversed(range(n_cells)):  # lowest cell id wins ties (matches Spark)
+        cell = f"CASE WHEN c{i} = {best} THEN {i} ELSE {cell} END"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (
+  SELECT vec_id, e, CAST({cell} AS INT) AS cell
+  FROM (SELECT vec_id, e,
+         {cols}
+        FROM e)
+),
+scored AS (
+  SELECT y.vec_id AS query_id, x.cell, x.vec_id AS neighbor_id, round({_DCOS}, 4) AS cos
+  FROM b x JOIN b y ON x.cell = y.cell AND y.vec_id < 5 AND x.vec_id <> y.vec_id
+)
+SELECT query_id, cell, rank, neighbor_id, cos FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), n_planes=4, k=5)
@@ -246,6 +283,41 @@ SELECT source, count(*) AS n_docs, round(avg(ttr) + 1e-9, 4) AS avg_ttr,
        round(avg(quality) + 1e-9, 4) AS avg_quality,
        CAST(sum(n_subtokens) AS BIGINT) AS total_subtokens
 FROM q GROUP BY source
+"""
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language: whitespace tokens, the 4-chars-per-token
+    BPE budget from token_stats, and a BPE-ish regex tokenizer
+    (letter-runs | digit-runs | single punctuation) — all JVM-side."""
+    d = TX.token_stats(t(spark, sf_dir, "documents")).withColumn(
+        "n_bpe_tokens",
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_ws_tokens"),
+        F.sum("n_subtokens").alias("total_subtokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        reps(F.avg(F.col("n_bpe_tokens") / F.col("n_tokens")), 4).alias("avg_bpe_per_word"),
+    )
+
+
+TEXT_TOKENS_SQL = """
+WITH f AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(n_subtokens) AS BIGINT) AS total_subtokens,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       round(avg(n_bpe_tokens::DOUBLE / n_tokens) + 1e-9, 4) AS avg_bpe_per_word
+FROM f GROUP BY lang
 """
 
 
@@ -349,6 +421,8 @@ QUERIES = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
+    "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_quality_by_source": (text_quality_by_source, TEXT_QUALITY_SQL),
     "text_lang_id_confusion": (text_lang_id_confusion, _lang_id_sql()),
     "text_fingerprint_stats": (text_fingerprint_stats, TEXT_FP_SQL),

@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.streaming.schemaInference", "false")
         # keep local runs quiet and deterministic
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # bucketed writes: one open writer per bucket dir instead of the
+        # dynamic-partition sort (sorting full rows by _bucket inside each
+        # write task dominated merge epochs; see BASELINE.md)
+        .config("spark.sql.maxConcurrentOutputFileWriters", "128")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -97,6 +97,25 @@ def test_ann_lsh_bucket_candidates_subset(spark):
     assert lsh1 and lsh1 <= brute10
 
 
+def test_ann_ivf_cells_and_recall(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id < 3")
+    ivf = S.ann_ivf_topk(emb, queries, n_cells=2, k=3).collect()
+    # every result comes from the query's own cell, and a query's centroid
+    # (vec_id 0/1 is its own centroid) must land in its own cell
+    cells = {r["query_id"]: r["cell"] for r in ivf}
+    assert cells[0] == 0 and cells[1] == 1
+    # IVF top-1 must be a genuine near neighbor (brute-force top-10 subset)
+    brute10 = {(r["query_id"], r["neighbor_id"])
+               for r in S.ann_bruteforce_topk(emb, queries, k=10).collect()}
+    ivf1 = {(r["query_id"], r["neighbor_id"]) for r in ivf if r["rank"] == 1}
+    assert ivf1 and ivf1 <= brute10
+
+
 def test_text_quality_and_tokens(docs):
     q = {r["doc_id"]: r for r in TX.quality_score(docs).collect()}
     assert q[0]["n_tokens"] == 6 and q[0]["n_distinct_tokens"] == 6
