@@ -57,18 +57,43 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    sig: DataFrame, bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
+    sig: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL minhashes of any band are candidates.
     Implemented as `bands` equi-joins on the band tuple (each co-partitioned
-    by its band key), unioned and de-duplicated."""
+    by its band key), unioned and de-duplicated.
+
+    ``max_bucket_size`` drops band buckets holding more than that many docs
+    before the self-join — the scale guard: an LSH bucket of m docs emits
+    O(m²) candidate pairs, so one near-universal signature (boilerplate
+    headers, empty docs) turns the join quadratic. Production dedup
+    pipelines cap or sample such buckets; capped buckets mean "too common
+    to be an informative near-dup signal", exactly like the stop-shingle
+    cut in :func:`ngram_jaccard_pairs`."""
+    from pyspark.sql import Window
+
     k = bands * rows_per_band
     assert all(f"mh{i}" in sig.columns for i in range(k)), "signature too narrow"
     pairs = None
     for b in range(bands):
         cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        a = sig.select(F.col(id_col).alias("a"), *cols)
-        c = sig.select(F.col(id_col).alias("b"), *cols)
+        sb = sig.select(id_col, *cols)
+        if max_bucket_size is not None:
+            # one extra shuffle per band, but it replaces a quadratic join
+            # fan-out with a linear windowed count
+            sb = (
+                sb.withColumn(
+                    "_bs", F.count(F.lit(1)).over(Window.partitionBy(*cols))
+                )
+                .filter(F.col("_bs") <= max_bucket_size)
+                .drop("_bs")
+            )
+        a = sb.select(F.col(id_col).alias("a"), *cols)
+        c = sb.select(F.col(id_col).alias("b"), *cols)
         j = a.join(c, cols).filter(F.col("a") < F.col("b")).select("a", "b")
         pairs = j if pairs is None else pairs.unionByName(j)
     return pairs.distinct()

@@ -49,24 +49,37 @@ def _minhash_sig_sql(k: int = 8) -> str:
     return f"WITH {_TOK_CTE} SELECT doc_id, {mins} FROM tok GROUP BY doc_id"
 
 
+_MINHASH_CAP = 20  # max docs per LSH band bucket (see minhash_candidate_pairs)
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(t(spark, sf_dir, "documents"), k=8)
-    return D.minhash_candidate_pairs(sig, bands=4, rows_per_band=2)
+    return D.minhash_candidate_pairs(
+        sig, bands=4, rows_per_band=2, max_bucket_size=_MINHASH_CAP
+    )
 
 
 def _minhash_pairs_sql() -> str:
     mins = ",\n       ".join(
         f"min({duck_phash('tok', f'mh{i}:')}) AS mh{i}" for i in range(8)
     )
+    capped = []
     bands = []
     for b in range(4):
         c0, c1 = f"mh{2 * b}", f"mh{2 * b + 1}"
+        capped.append(
+            f"cb{b} AS (SELECT doc_id, {c0}, {c1} FROM ("
+            f"SELECT doc_id, {c0}, {c1}, count(*) OVER (PARTITION BY {c0}, {c1}) AS bs"
+            f" FROM sig) WHERE bs <= {_MINHASH_CAP})"
+        )
         bands.append(
-            f"SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y"
+            f"SELECT x.doc_id AS a, y.doc_id AS b FROM cb{b} x JOIN cb{b} y"
             f" ON x.{c0} = y.{c0} AND x.{c1} = y.{c1} AND x.doc_id < y.doc_id"
         )
     return (
-        f"WITH {_TOK_CTE},\nsig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id)\n"
+        f"WITH {_TOK_CTE},\nsig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),\n"
+        + ",\n".join(capped)
+        + "\n"
         + "\nUNION\n".join(bands)
     )
 

@@ -45,6 +45,17 @@ def test_minhash_lsh_finds_exact_and_near_dups(docs):
     assert (0, 3) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_bucket_cap_drops_oversized_buckets(docs):
+    sig = D.minhash_signatures(docs, k=8)
+    # cap=1: every bucket with ≥2 docs is dropped → no pairs at all
+    assert D.minhash_candidate_pairs(sig, 4, 2, max_bucket_size=1).count() == 0
+    # generous cap: identical to the uncapped result
+    capped = {(r["a"], r["b"])
+              for r in D.minhash_candidate_pairs(sig, 4, 2, max_bucket_size=100).collect()}
+    uncapped = {(r["a"], r["b"]) for r in D.minhash_candidate_pairs(sig, 4, 2).collect()}
+    assert capped == uncapped and (0, 1) in capped
+
+
 def test_jaccard_pairs_values(docs):
     pairs = {(r["a"], r["b"]): r["jaccard"]
              for r in D.ngram_jaccard_pairs(docs, threshold=0.5, n=1).collect()}
