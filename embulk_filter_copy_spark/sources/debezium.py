@@ -1,0 +1,129 @@
+"""Debezium-style CDC envelope source → engine event schema.
+
+The reference delegates its inputs to pluggable Embulk input plugins
+(BreakinBulkLoader.scala:104-114); the engine's equivalent pluggability is
+"any DataFrame whose rows are change-event envelopes". This module parses
+the most common real-world envelope — Debezium's JSON change record
+(op c/r/u/d, before/after row images, source.lsn, ts_ms) — into the
+engine's flat event schema ``(lsn, ts, op, <row image...>, schema_change)``
+entirely with JVM-side expressions (``from_json`` + struct field access, no
+Python in the row path), so the same parser works in batch reads, file
+streams, and a Kafka ``value`` column.
+
+Envelope mapping:
+  * ``op``: c (create) / r (snapshot read) → I; u (update) → U; d (delete) → D
+  * row image: ``after`` for I/U, ``before`` for D (only the keys matter —
+    the applier turns deletes into tombstones)
+  * ``lsn``: ``source.lsn`` (monotone WAL position — the LWW order)
+  * ``ts``: ``ts_ms`` (epoch millis → timestamp)
+  * ``schema_change``: passed through if the producer embeds engine-format
+    DDL payloads under that field (Debezium proper emits DDL on a separate
+    schema-change topic; feed those through here too, with op='S')
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_filter_copy_spark.lake.schema import spark_type
+
+
+def envelope_struct(columns: list[tuple[str, str]]) -> T.StructType:
+    """Spark schema of one Debezium change record over a row type."""
+    row = T.StructType([T.StructField(n, spark_type(t), True) for n, t in columns])
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType(), True),
+            T.StructField("before", row, True),
+            T.StructField("after", row, True),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [
+                        T.StructField("lsn", T.LongType(), True),
+                        T.StructField("ts_ms", T.LongType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField("schema_change", T.StringType(), True),
+        ]
+    )
+
+
+def _event_cols(env: Column, columns: list[tuple[str, str]]) -> list[Column]:
+    op = (
+        F.when(env["op"].isin("c", "r"), F.lit("I"))
+        .when(env["op"] == "u", F.lit("U"))
+        .when(env["op"] == "d", F.lit("D"))
+        .when(env["op"] == "s", F.lit("S"))
+        .otherwise(F.lit(None))
+    )
+    image = F.when(op == "D", env["before"]).otherwise(env["after"])
+    ts_ms = F.coalesce(env["ts_ms"], env["source"]["ts_ms"])
+    cols = [
+        env["source"]["lsn"].alias("lsn"),
+        F.timestamp_millis(ts_ms).alias("ts"),
+        op.alias("op"),
+    ]
+    cols += [image[n].alias(n) for n, _ in columns]
+    cols.append(env["schema_change"].alias("schema_change"))
+    return cols
+
+
+def parse_debezium(
+    df: DataFrame,
+    columns: list[tuple[str, str]],
+    value_col: str = "value",
+    payload_wrapper: bool = False,
+) -> DataFrame:
+    """Parse a column of Debezium JSON strings into engine events.
+
+    Source-agnostic: ``df`` can be a file read, a rate stream, or a Kafka
+    stream (``value_col="value"`` after ``CAST(value AS STRING)``).
+    ``payload_wrapper=True`` unwraps the Connect converter's
+    ``{"schema": ..., "payload": {...}}`` framing.
+    """
+    schema = envelope_struct(columns)
+    if payload_wrapper:
+        schema = T.StructType([T.StructField("payload", schema, True)])
+    env = F.from_json(F.col(value_col), schema)
+    if payload_wrapper:
+        env = env["payload"]
+    bad = F.col(value_col).isNotNull() & env.isNull()
+    return (
+        df.withColumn("_env", env)
+        .withColumn("_bad", bad)
+        .select(*_event_cols(F.col("_env"), columns), F.col("_bad"))
+    )
+
+
+def read_debezium_jsonl(
+    spark: SparkSession,
+    path: str,
+    columns: list[tuple[str, str]],
+    streaming: bool = False,
+    payload_wrapper: bool = False,
+    drop_malformed: bool = True,
+    options: dict | None = None,
+) -> DataFrame:
+    """Read newline-delimited Debezium JSON files (batch or file-stream)
+    as engine events, ready for ``apply_batch`` / ``replay_stream``.
+
+    Malformed lines parse to all-null envelopes; ``drop_malformed`` filters
+    them (count them upstream via ``observe`` if a dead-letter metric is
+    needed — keeping the filter declarative preserves pushdown of later
+    predicates into the scan).
+    """
+    line = T.StructType([T.StructField("value", T.StringType(), True)])
+    reader = (spark.readStream if streaming else spark.read).schema(line)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.text(path)
+    ev = parse_debezium(raw, columns, value_col="value", payload_wrapper=payload_wrapper)
+    if drop_malformed:
+        ev = ev.filter(~F.col("_bad"))
+    return ev.drop("_bad")

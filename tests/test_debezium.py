@@ -1,0 +1,125 @@
+"""Debezium envelope source: JSON change records → engine events → applied
+table state matches applying the equivalent native events."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.cdc.apply import apply_batch
+from embulk_filter_copy_spark.fixtures import REPO_FILES_SCHEMA
+from embulk_filter_copy_spark.lake.table import LakeTable
+from embulk_filter_copy_spark.sources.debezium import parse_debezium, read_debezium_jsonl
+
+
+def _row(repo, path, commit="c0", lang="py", content="x"):
+    return {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+
+
+def _records():
+    return [
+        {"op": "c", "before": None, "after": _row("r1", "a.py", content="v1"),
+         "source": {"lsn": 1, "ts_ms": 1000}, "ts_ms": 1000, "schema_change": None},
+        {"op": "r", "before": None, "after": _row("r1", "b.py", content="snap"),
+         "source": {"lsn": 2, "ts_ms": 2000}, "ts_ms": None, "schema_change": None},
+        {"op": "u", "before": _row("r1", "a.py", content="v1"),
+         "after": _row("r1", "a.py", content="v2"),
+         "source": {"lsn": 3, "ts_ms": 3000}, "ts_ms": 3000, "schema_change": None},
+        {"op": "d", "before": _row("r1", "b.py"), "after": None,
+         "source": {"lsn": 4, "ts_ms": 4000}, "ts_ms": 4000, "schema_change": None},
+    ]
+
+
+def _write_jsonl(tmp_path, records, wrap=False, junk=False):
+    p = os.path.join(str(tmp_path), "wal")
+    os.makedirs(p, exist_ok=True)
+    lines = [json.dumps({"payload": r} if wrap else r) for r in records]
+    if junk:
+        lines.insert(1, "{not json at all")
+    with open(os.path.join(p, "part-0.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return p
+
+
+def test_parse_ops_images_and_lsn(spark, tmp_path):
+    p = _write_jsonl(tmp_path, _records())
+    ev = read_debezium_jsonl(spark, p, REPO_FILES_SCHEMA).orderBy("lsn").collect()
+    assert [r["op"] for r in ev] == ["I", "I", "U", "D"]
+    assert [r["lsn"] for r in ev] == [1, 2, 3, 4]
+    assert ev[2]["content"] == "v2"            # update carries after-image
+    assert ev[3]["path"] == "b.py"             # delete carries before-image keys
+    assert ev[1]["ts"] is not None             # ts falls back to source.ts_ms
+    assert ev[0]["ts"].isoformat().startswith("1970-01-01T00:00:01")
+
+
+def test_payload_wrapper_and_malformed_lines(spark, tmp_path):
+    p = _write_jsonl(tmp_path, _records(), wrap=True, junk=True)
+    ev = read_debezium_jsonl(spark, p, REPO_FILES_SCHEMA, payload_wrapper=True)
+    assert ev.count() == 4                     # junk line dropped
+    kept = read_debezium_jsonl(
+        spark, p, REPO_FILES_SCHEMA, payload_wrapper=True, drop_malformed=False
+    )
+    assert kept.count() == 5
+    assert kept.filter(F.col("_bad")).count() == 1
+
+
+def test_debezium_apply_matches_native_events(spark, tmp_path):
+    p = _write_jsonl(tmp_path, _records())
+    ev = read_debezium_jsonl(spark, p, REPO_FILES_SCHEMA)
+
+    t1 = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t1"), REPO_FILES_SCHEMA,
+        key_columns=["repo", "path"], n_buckets=4,
+    )
+    apply_batch(t1, ev, run_id="dbz", epoch=0)
+
+    # same events built natively
+    native = spark.createDataFrame(
+        [(r["source"]["lsn"],
+          {"c": "I", "r": "I", "u": "U", "d": "D"}[r["op"]],
+          (r["after"] or r["before"])["repo"],
+          (r["after"] or r["before"])["path"],
+          (r["after"] or r["before"])["commit"],
+          (r["after"] or r["before"])["lang"],
+          (r["after"] or r["before"])["content"])
+         for r in _records()],
+        "lsn long, op string, repo string, path string, commit string, lang string, content string",
+    ).withColumn("ts", F.timestamp_millis(F.col("lsn") * 1000))
+    t2 = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t2"), REPO_FILES_SCHEMA,
+        key_columns=["repo", "path"], n_buckets=4,
+    )
+    apply_batch(t2, native, run_id="nat", epoch=0)
+
+    a = sorted(tuple(r) for r in t1.read().collect())
+    b = sorted(tuple(r) for r in t2.read().collect())
+    assert a == b and len(a) == 1              # only a.py@v2 survives (b.py deleted)
+
+
+def test_streaming_replay_from_debezium_wal(spark, tmp_path):
+    """End-to-end: Debezium jsonl WAL → replay_stream → final table state."""
+    from embulk_filter_copy_spark.cdc.replayer import replay_stream
+
+    p = _write_jsonl(tmp_path, _records())
+    sink = os.path.join(str(tmp_path), "sink")
+    LakeTable.create(spark, sink, REPO_FILES_SCHEMA,
+                     key_columns=["repo", "path"], n_buckets=4)
+    res = replay_stream(
+        spark, p, sink, checkpoint=os.path.join(str(tmp_path), "ckpt"),
+        source_format="debezium-jsonl",
+    )
+    assert sum(r.get("rows_applied", 0) for r in res) > 0
+    rows = LakeTable.load(spark, sink).read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v2"
+
+
+def test_streaming_read_shape(spark, tmp_path):
+    p = _write_jsonl(tmp_path, _records())
+    ev = read_debezium_jsonl(spark, p, REPO_FILES_SCHEMA, streaming=True)
+    assert ev.isStreaming
+    out = (
+        ev.writeStream.format("memory").queryName("dbz_stream")
+        .trigger(availableNow=True).start()
+    )
+    out.awaitTermination()
+    assert spark.sql("select count(*) n from dbz_stream").collect()[0]["n"] == 4
