@@ -248,6 +248,57 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stateful_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    running CDC stats accumulated in the checkpointed state store, drained
+    with availableNow; the LAST emission per key must equal the batch
+    aggregate — proving the Arrow-batched state updates lose nothing."""
+    import tempfile
+
+    from embulk_filter_copy_spark.streaming.stateful import repo_change_stats
+
+    schema = t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("user_id").cast("string").alias("repo"),
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.col("event_id").alias("lsn"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    rows: list = []
+    q = (
+        repo_change_stats(stream)
+        .writeStream.foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="efc-stateful-q-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest: dict = {}
+    for r in rows:
+        prev = latest.get(r["repo"])
+        if prev is None or (r["lsn_max"] or -1) >= (prev["lsn_max"] or -1):
+            latest[r["repo"]] = r
+    return spark.createDataFrame(list(latest.values()), repo_change_stats(stream).schema)
+
+
+STATEFUL_STATS_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS repo,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       min(event_id) AS lsn_min,
+       max(event_id) AS lsn_max,
+       CAST(epoch_ms(max(ts)) AS BIGINT) AS last_ts_ms
+FROM events GROUP BY user_id
+"""
+
+
 def join_range_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join: purchases within 1 hour after a click by the same
     user. Equi-key on user_id keeps it a plain shuffle/broadcast hash join
@@ -325,4 +376,5 @@ QUERIES = {
     "join_range_click_purchase": (join_range_click_purchase, JOIN_RANGE_SQL),
     "agg_cube_events": (agg_cube_events, AGG_CUBE_SQL),
     "streaming_hourly_counts": (streaming_hourly_counts, CDC_HOURLY_SQL),
+    "streaming_stateful_repo_stats": (streaming_stateful_repo_stats, STATEFUL_STATS_SQL),
 }
