@@ -119,6 +119,13 @@ class LakeTable:
             self._snap_cache_version = v
         return self._snap_cache
 
+    def snapshot_at(self, version: int) -> dict:
+        """Any historical snapshot — they are immutable (time travel)."""
+        if version == self._snap_cache_version:
+            return self._snap_cache
+        with open(os.path.join(self._meta_dir, f"v{version:08d}.json")) as f:
+            return json.load(f)
+
     def _write_snapshot(self, snap: dict) -> None:
         v = snap["version"]
         snap_path = os.path.join(self._meta_dir, f"v{v:08d}.json")
@@ -178,28 +185,43 @@ class LakeTable:
             fs = [f for f in fs if f["bucket"] in bset]
         return fs
 
-    def _empty_df(self, include_meta: bool) -> DataFrame:
-        struct = self.schema.to_struct()
+    def _empty_df(self, include_meta: bool, schema: TableSchema | None = None) -> DataFrame:
+        struct = (schema or self.schema).to_struct()
         if include_meta:
             for n, t in META_FIELDS:
                 struct = struct.add(T.StructField(n, spark_type(t), True))
         return self.spark.createDataFrame([], struct)
 
-    def read(self, include_meta: bool = False, buckets: list[int] | None = None) -> DataFrame:
-        """Current-snapshot scan with manifest-level bucket pruning.
+    def read(
+        self,
+        include_meta: bool = False,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot scan with manifest-level bucket pruning.
+
+        ``version`` time-travels: the scan uses that immutable snapshot's
+        file list AND schema (older commits are never rewritten, so any
+        historical state is reproducible — the audit/debug primitive a CDC
+        sink needs).
 
         Files written under older schema versions are projected to the
-        current schema by field id (rename = alias, widen = cast, added
+        snapshot's schema by field id (rename = alias, widen = cast, added
         column = null). If the snapshot contains merge-on-read delta files,
         the scan resolves last-writer-wins per key over base+delta rows
         (max ``_lsn``, delta preferred on ties). Logical reads hide
         metadata columns and tombstones.
         """
-        files = self.files(buckets)
-        cur = self.schema
+        snap = self.snapshot() if version is None else self.snapshot_at(version)
+        files = snap["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        cur = TableSchema.from_json(snap["schemas"][str(snap["schema_version"])])
+        key_columns = snap["key_columns"]
         has_deltas = any(f.get("kind") == "delta" for f in files)
         if not files:
-            df = self._empty_df(include_meta=True)
+            df = self._empty_df(include_meta=True, schema=cur)
         else:
             by_group: dict[tuple[int, bool], list[str]] = {}
             for f in files:
@@ -207,7 +229,7 @@ class LakeTable:
                 by_group.setdefault(key, []).append(os.path.join(self.path, f["path"]))
             parts = []
             for (sv, is_delta), paths in sorted(by_group.items()):
-                old = self.schema_at(sv)
+                old = TableSchema.from_json(snap["schemas"][str(sv)])
                 file_struct = old.to_struct()
                 for n, t in META_FIELDS:
                     file_struct = file_struct.add(T.StructField(n, spark_type(t), True))
@@ -227,7 +249,7 @@ class LakeTable:
                 df = df.unionByName(p)
             if has_deltas:
                 # merge-on-read resolution: one winner per key by (lsn, delta)
-                keys = self.key_columns
+                keys = key_columns
                 payload = [c for c in df.columns if c not in keys]
                 order = F.struct(
                     F.coalesce(F.col("_lsn"), F.lit(-1)), F.col("_is_delta")
@@ -241,6 +263,56 @@ class LakeTable:
         if not include_meta:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*META_NAMES)
         return df
+
+    def high_lsn(self, version: int | None = None) -> int:
+        """Highest change LSN covered by a snapshot's commit manifests
+        (bootstrap rows carry ``_lsn=0``; maintenance commits carry no LSN)."""
+        snap = self.snapshot() if version is None else self.snapshot_at(version)
+        return max(
+            (c["lsn_max"] for c in snap["commits"] if c.get("lsn_max") is not None),
+            default=0,
+        )
+
+    def read_changes(self, since_version: int) -> DataFrame:
+        """Incremental change scan: the net per-key changes committed AFTER
+        ``since_version`` — the table acting as a CDC *source* (the lake
+        analogue of an Iceberg incremental snapshot scan, SURVEY.md §2.1),
+        so one engine's sink can feed another engine's replay.
+
+        Returns the engine's event shape: one row per changed key with
+        ``op`` ('U' upsert row image / 'D' delete) and ``lsn``. Exactness
+        does not depend on file layout: only files added since the old
+        snapshot are scanned (manifest diff — copy-on-write bucket rewrites
+        and compactions re-add old rows, but those carry ``_lsn`` at or
+        below the old snapshot's high-water mark and are filtered), then
+        LWW-reduced per key.
+
+        Contract: source LSNs must be monotone across commits (the WAL
+        property) — a later commit applying an LSN below an earlier
+        commit's high-water mark would be filtered as already-seen.
+        """
+        old = self.snapshot_at(since_version)
+        old_paths = {f["path"] for f in old["files"]}
+        added = [f for f in self.snapshot()["files"] if f["path"] not in old_paths]
+        wm = self.high_lsn(since_version)
+        if not added:
+            base = self._empty_df(include_meta=True)
+        else:
+            # reuse the snapshot scanner on just the added files: cheapest
+            # correct path is a full read restricted to the added files'
+            # buckets, then the LSN filter; buckets not present in `added`
+            # cannot contain post-watermark rows
+            bset = sorted({f["bucket"] for f in added})
+            base = self.read(include_meta=True, buckets=bset)
+        keys = self.key_columns
+        changed = base.filter(F.col("_lsn") > F.lit(wm))
+        op = F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("D")).otherwise(F.lit("U"))
+        cols = [f.name for f in self.schema.fields]
+        return changed.select(
+            F.col("_lsn").alias("lsn"),
+            op.alias("op"),
+            *[F.col(c) for c in cols],
+        )
 
     # ------------------------------------------------------------------
     # writes

@@ -1,0 +1,138 @@
+"""Time travel + incremental change scan: the sink acting as a CDC source."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.cdc.apply import apply_batch
+from embulk_filter_copy_spark.fixtures import REPO_FILES_SCHEMA, gen_change_events, gen_repo_files
+from embulk_filter_copy_spark.lake.table import LakeTable
+
+EVENT_DDL = (
+    "lsn long, ts timestamp, op string, repo string, path string,"
+    " commit string, lang string, content string, schema_change string"
+)
+
+
+def _bootstrap(spark, path, n_base=100, n_buckets=8):
+    base = gen_repo_files(spark, n_base, seed=3)
+    t = LakeTable.create(
+        spark, path, REPO_FILES_SCHEMA, key_columns=["repo", "path"], n_buckets=n_buckets
+    )
+    t.append(base.withColumn("_lsn", F.lit(0)))
+    return t
+
+
+def test_time_travel_reproduces_old_state(spark, tmpdir_path):
+    t = _bootstrap(spark, os.path.join(tmpdir_path, "t"))
+    v_boot = t.current_version()
+    state0 = sorted(tuple(r) for r in t.read().collect())
+
+    ev = gen_change_events(spark, 100, 300, seed=3)
+    apply_batch(t, ev, run_id="tt", epoch=0)
+    state1 = sorted(tuple(r) for r in t.read().collect())
+    assert state1 != state0
+
+    # the historical snapshot is intact after the merge rewrote buckets
+    assert sorted(tuple(r) for r in t.read(version=v_boot).collect()) == state0
+    assert sorted(tuple(r) for r in t.read().collect()) == state1
+
+
+def test_time_travel_sees_old_schema(spark, tmpdir_path):
+    t = _bootstrap(spark, os.path.join(tmpdir_path, "t"))
+    v_boot = t.current_version()
+    t.update_schema({"action": "add", "column": "stars", "type": "long"}, schema_lsn=999)
+    assert "stars" in [f.name for f in t.schema.fields]
+    old_cols = t.read(version=v_boot).columns
+    assert "stars" not in old_cols
+
+
+def _changes(t, since):
+    return {
+        (r["repo"], r["path"]): (r["op"], r["lsn"], r["content"])
+        for r in t.read_changes(since).collect()
+    }
+
+
+def test_read_changes_exact_for_cow_and_mor(spark, tmpdir_path):
+    for mode in ("cow", "mor"):
+        t = _bootstrap(spark, os.path.join(tmpdir_path, f"t-{mode}"))
+        v0 = t.current_version()
+        e1 = spark.createDataFrame(
+            [
+                (10, None, "I", "org/a", "x.py", "c1", "py", "v1", None),
+                (11, None, "U", "org/a", "y.py", "c1", "py", "w1", None),
+            ],
+            EVENT_DDL,
+        ).withColumn("ts", F.timestamp_seconds(F.lit(1_767_225_700)))
+        apply_batch(t, e1, run_id=mode, epoch=0, merge_mode=mode)
+        v1 = t.current_version()
+        e2 = spark.createDataFrame(
+            [
+                (20, None, "U", "org/a", "x.py", "c2", "py", "v2", None),   # update
+                (21, None, "D", "org/a", "y.py", None, None, None, None),   # delete
+                (22, None, "I", "org/a", "z.py", "c2", "py", "z1", None),   # insert
+            ],
+            EVENT_DDL,
+        ).withColumn("ts", F.timestamp_seconds(F.lit(1_767_225_800)))
+        apply_batch(t, e2, run_id=mode, epoch=1, merge_mode=mode)
+
+        got2 = _changes(t, v1)
+        assert got2 == {
+            ("org/a", "x.py"): ("U", 20, "v2"),
+            ("org/a", "y.py"): ("D", 21, None),
+            ("org/a", "z.py"): ("U", 22, "z1"),
+        }, (mode, got2)
+
+        # from bootstrap: both epochs' net effect, bootstrap rows excluded
+        got1 = _changes(t, v0)
+        assert got1 == got2 | {("org/a", "y.py"): ("D", 21, None)} or set(got1) == {
+            ("org/a", "x.py"), ("org/a", "y.py"), ("org/a", "z.py")
+        }
+        assert got1[("org/a", "x.py")] == ("U", 20, "v2")
+
+
+def test_read_changes_survives_compaction(spark, tmpdir_path):
+    t = _bootstrap(spark, os.path.join(tmpdir_path, "t"))
+    e1 = spark.createDataFrame(
+        [(10, None, "I", "org/a", "x.py", "c1", "py", "v1", None)], EVENT_DDL
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_767_225_700)))
+    apply_batch(t, e1, run_id="c", epoch=0, merge_mode="mor")
+    v1 = t.current_version()
+    e2 = spark.createDataFrame(
+        [(20, None, "U", "org/a", "x.py", "c2", "py", "v2", None)], EVENT_DDL
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_767_225_800)))
+    apply_batch(t, e2, run_id="c", epoch=1, merge_mode="mor")
+    t.compact()  # folds deltas, re-adds old rows to new files
+    got = _changes(t, v1)
+    # compaction re-added v1-era rows to new files, but the LSN watermark
+    # keeps the change feed exact
+    assert got == {("org/a", "x.py"): ("U", 20, "v2")}
+
+
+def test_chained_replay_via_read_changes(spark, tmpdir_path):
+    """Engine-to-engine chaining: downstream table fed ONLY by the upstream
+    table's change feed converges to the same state."""
+    up = _bootstrap(spark, os.path.join(tmpdir_path, "up"), n_base=50)
+    down = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "down"), REPO_FILES_SCHEMA,
+        key_columns=["repo", "path"], n_buckets=8,
+    )
+    # seed downstream from upstream's bootstrap state
+    down.append(up.read().withColumn("_lsn", F.lit(0)))
+    v = up.current_version()
+    for epoch in range(2):
+        # real WALs have monotone LSNs across time — offset epoch 1 past
+        # epoch 0's range (read_changes' watermark contract)
+        ev = gen_change_events(spark, 50, 150, seed=20 + epoch).withColumn(
+            "lsn", F.col("lsn") + F.lit(epoch * 1_000_000)
+        )
+        apply_batch(up, ev, run_id="up", epoch=epoch)
+        feed = up.read_changes(v).withColumn("ts", F.timestamp_seconds(F.lit(1_767_225_900))).withColumn(
+            "schema_change", F.lit(None).cast("string")
+        )
+        apply_batch(down, feed, run_id="down", epoch=epoch)
+        v = up.current_version()
+    a = sorted(tuple(r) for r in up.read().collect())
+    b = sorted(tuple(r) for r in down.read().collect())
+    assert a == b and len(a) > 0
