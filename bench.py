@@ -169,14 +169,15 @@ def fanout_throughput(spark, n_base: int, n_events: int, workdir: str) -> dict:
     os.makedirs(workdir)
     base = spark.read.parquet(os.path.join(input_dir, "base"))
     sinks = []
-    for name, transforms in (
-        ("full", ()),
-        ("slim", (("drop", ["content"]),)),
-        ("py_only", (("filter", "lang = 'py'"),)),
+    for name, transforms, schema in (
+        ("full", (), REPO_FILES_SCHEMA),
+        ("slim", (("drop", ["content"]),), REPO_FILES_SCHEMA),
+        ("hashed", (("with_column", "content_sha", "sha2(content, 256)"),),
+         REPO_FILES_SCHEMA + [("content_sha", "string")]),
     ):
         path = os.path.join(workdir, name)
         t = LakeTable.create(
-            spark, path, REPO_FILES_SCHEMA, key_columns=["repo", "path"], n_buckets=64
+            spark, path, schema, key_columns=["repo", "path"], n_buckets=64
         )
         t.append(base.withColumn("_lsn", F.lit(0)))
         sinks.append(SinkSpec(name=name, path=path, transforms=transforms))

@@ -203,6 +203,11 @@ def apply_batch(
     buckets; read-optimized) or 'mor' (merge-on-read — append delta files
     only; write-optimized, readers resolve LWW, compaction folds back).
 
+    ``dedup='skip'``: caller guarantees the batch is already per-key unique
+    (the fan-out splitter dedups ONCE and shares the result across sinks
+    whose transforms are projection-only — dedup commutes with projections,
+    saving N-1 LWW shuffles for N sinks).
+
     Sequencing: S (schema-change) events split the batch at their LSNs;
     each DDL is applied BEFORE the data events that follow it in LSN order
     (SURVEY.md §7.4 — the subtlest correctness requirement). Every sub-unit
@@ -266,7 +271,9 @@ def apply_batch(
         lsn_lo = min(r["lsn_min"] for r in prows if r["lsn_min"] is not None)
         lsn_hi = max(r["lsn_max"] for r in prows if r["lsn_max"] is not None)
         keys = tuple(table.key_columns)
-        if dedup == "salted":
+        if dedup == "skip":
+            deduped = data
+        elif dedup == "salted":
             deduped = lww_dedup_salted(data, keys=keys, lsn_col=lsn_col, n_salts=n_salts)
         else:
             deduped = lww_dedup(data, keys=keys, lsn_col=lsn_col)
@@ -361,7 +368,9 @@ def apply_batch(
         if table.has_commit(run_id, epoch, eff_seq):
             continue
         keys = tuple(table.key_columns)
-        if dedup == "salted":
+        if dedup == "skip":
+            deduped = sub
+        elif dedup == "salted":
             deduped = lww_dedup_salted(sub, keys=keys, lsn_col=lsn_col, n_salts=n_salts)
         else:
             deduped = lww_dedup(sub, keys=keys, lsn_col=lsn_col)

@@ -62,7 +62,33 @@ class FanoutApplier:
         self.merge_mode = merge_mode
         self.results: list[dict] = []
 
+    # transform kinds that never add/drop/reorder ROWS — for these, LWW dedup
+    # commutes with the per-sink chain, so the fan-out dedups ONCE and shares
+    _PROJECTION_ONLY = {"select", "drop", "rename", "with_column"}
+
+    def _sharable_dedup(self) -> bool:
+        return self.quarantine is None and all(
+            tr[0] in self._PROJECTION_ONLY for leaf in self.leaves for tr in leaf.transforms
+        )
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from embulk_filter_copy_spark.cdc.dedup import lww_dedup, lww_dedup_salted
+
+        dedup_mode = self.dedup
+        if len(self.leaves) > 1 and self._sharable_dedup():
+            # shared dedup: one LWW shuffle for ALL sinks instead of one per
+            # sink (schema-change rows bypass the key-grouping and are
+            # re-sequenced inside apply_batch as usual)
+            is_data = F.col("op") != "S"
+            data = batch_df.filter(is_data)
+            if self.dedup == "salted":
+                dd = lww_dedup_salted(data, keys=self.keys, n_salts=self.n_salts)
+            else:
+                dd = lww_dedup(data, keys=self.keys)
+            batch_df = dd.unionByName(batch_df.filter(~is_data))
+            dedup_mode = "skip"
         batch_df = batch_df.persist()
         try:
             # materialize the cache once; also satisfies Spark 4.x's
@@ -77,7 +103,7 @@ class FanoutApplier:
                     df,
                     run_id=self.run_id,
                     epoch=int(epoch_id),
-                    dedup=self.dedup,
+                    dedup=dedup_mode,
                     n_salts=self.n_salts,
                     quarantine=self.quarantine,
                     merge_mode=self.merge_mode,

@@ -154,6 +154,48 @@ def test_pandas_udf_transform_in_chain(spark, tmpdir_path):
         golden[["repo", "path", "content"]].reset_index(drop=True))
 
 
+def test_mixed_filter_sink_forces_per_sink_dedup(spark, tmpdir_path):
+    """A row-filter transform doesn't commute with LWW dedup, so its presence
+    must disable the shared-dedup fast path for the WHOLE fan-out — each sink
+    then matches the oracle over its own filtered event stream."""
+    base = gen_repo_files(spark, 60, seed=12)
+    ev = gen_change_events(spark, 60, 250, seed=12, dup_rate=0.1)
+    s_full = _mk_sink(spark, tmpdir_path, "full")
+    s_nodel = _mk_sink(spark, tmpdir_path, "nodel")
+    for p in (s_full, s_nodel):
+        LakeTable.load(spark, p).append(base.withColumn("_lsn", F.lit(0)))
+    log = os.path.join(tmpdir_path, "log")
+    ev.coalesce(1).write.parquet(log)
+    specs = [
+        SinkSpec(name="full", path=s_full),
+        SinkSpec(name="nodel", path=s_nodel, transforms=(("filter", "op <> 'D'"),)),
+    ]
+    replay_stream(spark, log, specs, checkpoint=os.path.join(tmpdir_path, "ck"))
+    ev_pdf = ev.toPandas()
+    golden_full = replay_oracle(base.toPandas(), ev_pdf)
+    golden_nodel = replay_oracle(base.toPandas(), ev_pdf[ev_pdf["op"] != "D"])
+    cols = ["repo", "path", "content"]
+    assert _final(spark, s_full)[cols].equals(golden_full[cols].reset_index(drop=True))
+    assert _final(spark, s_nodel)[cols].equals(golden_nodel[cols].reset_index(drop=True))
+
+
+def test_shared_dedup_detection():
+    from embulk_filter_copy_spark.cdc.replayer import FanoutApplier
+
+    def applier(transform_sets, quarantine=None):
+        leaves = [
+            SinkSpec(name=f"s{i}", path=f"/s{i}", transforms=t)
+            for i, t in enumerate(transform_sets)
+        ]
+        return FanoutApplier(None, leaves, "r", quarantine=quarantine)
+
+    assert applier([(), (("drop", ["lang"]),)])._sharable_dedup()
+    assert applier([(("with_column", "h", "sha2(content,256)"),)])._sharable_dedup()
+    assert not applier([(), (("filter", "op <> 'D'"),)])._sharable_dedup()
+    assert not applier([(("pandas", "anything"),)])._sharable_dedup()
+    assert not applier([()], quarantine=("/q", 60))._sharable_dedup()
+
+
 def test_filter_and_derived_column_transforms(spark, tmpdir_path):
     ev = gen_change_events(spark, 30, 100, seed=9)
     out = apply_transforms(
