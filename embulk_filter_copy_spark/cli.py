@@ -80,6 +80,21 @@ def _parse_spec(d: dict):
     )
 
 
+def cmd_changes(args) -> None:
+    """Incremental change feed: net per-key U/D events since a snapshot
+    version (the sink acting as a CDC source; chain into another replay)."""
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    feed = table.read_changes(args.since_version)
+    if args.out:
+        feed.write.mode("errorifexists").parquet(args.out)
+        print(json.dumps({"since_version": args.since_version, "rows": feed.count(), "out": args.out}))
+    else:
+        feed.show(args.limit, truncate=False)
+
+
 def cmd_compact(args) -> None:
     from embulk_filter_copy_spark.lake.table import LakeTable
 
@@ -127,8 +142,19 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--purge-tombstones", action="store_true")
     c.add_argument("--max-files-per-bucket", type=int, default=1)
 
+    ch = sub.add_parser("changes", help="emit the net change feed since a snapshot version")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--since-version", type=int, required=True)
+    ch.add_argument("--out", help="write the feed as parquet (else print)")
+    ch.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
-    {"bootstrap": cmd_bootstrap, "replay": cmd_replay, "compact": cmd_compact}[args.cmd](args)
+    {
+        "bootstrap": cmd_bootstrap,
+        "replay": cmd_replay,
+        "compact": cmd_compact,
+        "changes": cmd_changes,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

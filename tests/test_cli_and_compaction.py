@@ -57,6 +57,33 @@ def test_cli_bootstrap_replay_compact(spark, tmpdir_path, capsys):
     assert t.read(include_meta=True).filter(F.col("_deleted")).count() == 0
 
 
+def test_cli_changes_feed(spark, tmpdir_path, capsys):
+    from embulk_filter_copy_spark import cli
+
+    base_p = os.path.join(tmpdir_path, "base.parquet")
+    gen_repo_files(spark, 50, seed=5).write.parquet(base_p)
+    wal = os.path.join(tmpdir_path, "wal")
+    gen_change_events(spark, 50, 150, seed=5).coalesce(1).write.parquet(wal)
+    table = os.path.join(tmpdir_path, "lake")
+
+    cli.main(["--master", "local[4]", "bootstrap", "--table", table,
+              "--snapshot", base_p, "--keys", "repo,path", "--buckets", "8"])
+    capsys.readouterr()
+    v0 = LakeTable.load(spark, table).current_version()
+    cli.main(["--master", "local[4]", "replay", "--events", wal, "--sink", table,
+              "--checkpoint", os.path.join(tmpdir_path, "ck")])
+    capsys.readouterr()
+
+    out_p = os.path.join(tmpdir_path, "feed")
+    cli.main(["--master", "local[4]", "changes", "--table", table,
+              "--since-version", str(v0), "--out", out_p])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0
+    feed = spark.read.parquet(out_p)
+    assert set(feed.select("op").distinct().toPandas()["op"]) <= {"U", "D"}
+    assert feed.count() == out["rows"]
+
+
 def test_cli_sink_spec_tree(spark, tmpdir_path, capsys):
     from embulk_filter_copy_spark import cli
 
