@@ -76,20 +76,17 @@ def _batch_stats(table: LakeTable, batch: DataFrame, lsn_col: str) -> tuple[dict
     return stats, lineage
 
 
-def merge_into(
+def build_merge(
     table: LakeTable,
     deduped: DataFrame,
-    commit: dict,
     buckets: list[int],
     lsn_col: str = "lsn",
     op_col: str = "op",
-) -> dict:
-    """Apply a per-key-unique batch of I/U/D row images to the table.
-
-    ``deduped`` must hold at most one row per key (post-LWW). Update
-    semantics are full-row-image: table columns absent from the event
-    envelope become NULL when the source wins (matches the oracle replayer).
-    """
+) -> DataFrame:
+    """The copy-on-write MERGE plan (unexecuted): bucket-pruned target scan
+    full-outer-joined with the per-key-unique batch, source winning iff
+    ``lsn >= _lsn``. Exposed separately so tests can assert the physical
+    plan (equi-join, no nested-loop) without writing."""
     keys = table.key_columns
     t = table.read(include_meta=True, buckets=buckets).alias("t")
     s = deduped.alias("s")
@@ -122,7 +119,24 @@ def merge_into(
         .otherwise(F.coalesce(t["_deleted"], F.lit(False)))
         .alias("_deleted")
     )
-    merged = j.select(*out_cols)
+    return j.select(*out_cols)
+
+
+def merge_into(
+    table: LakeTable,
+    deduped: DataFrame,
+    commit: dict,
+    buckets: list[int],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> dict:
+    """Apply a per-key-unique batch of I/U/D row images to the table.
+
+    ``deduped`` must hold at most one row per key (post-LWW). Update
+    semantics are full-row-image: table columns absent from the event
+    envelope become NULL when the source wins (matches the oracle replayer).
+    """
+    merged = build_merge(table, deduped, buckets, lsn_col=lsn_col, op_col=op_col)
     return table.replace_buckets(buckets, merged, commit=commit)
 
 

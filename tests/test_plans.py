@@ -67,6 +67,31 @@ def test_salted_dedup_two_shuffles_bounded_keys(spark):
     assert any("_salt" not in e for e in exchanges)
 
 
+def test_merge_plan_is_equi_join_no_nested_loop(spark, tmpdir_path):
+    """The COW MERGE must plan as a shuffled equi-join on the keys — a
+    BroadcastNestedLoopJoin or CartesianProduct here would melt at 100 TB."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from embulk_filter_copy_spark.cdc.apply import build_merge
+    from embulk_filter_copy_spark.cdc.dedup import lww_dedup
+    from embulk_filter_copy_spark.fixtures import REPO_FILES_SCHEMA, gen_repo_files
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), REPO_FILES_SCHEMA,
+        key_columns=["repo", "path"], n_buckets=4,
+    )
+    t.append(gen_repo_files(spark, 200, seed=1).withColumn("_lsn", F.lit(0)))
+    ev = gen_change_events(spark, 200, 500, seed=1)
+    merged = build_merge(t, lww_dedup(ev), buckets=[0, 1, 2, 3])
+    p = plan(merged)
+    assert "FullOuter" in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
 def test_events_scan_prunes_partitions_by_lsn(spark):
     ev = gen_change_events(spark, 100, 500, seed=1)
     import tempfile, os
