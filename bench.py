@@ -82,7 +82,9 @@ def _prepare_input(spark, n_base: int, n_events: int, input_dir: str) -> None:
     scaling protocol)."""
     from embulk_filter_copy_spark.fixtures import gen_change_events, gen_repo_files
 
-    done = os.path.join(input_dir, "_DONE")
+    # marker carries the generation params: rerunning with changed
+    # EFC_*_EVENTS/BASE_ROWS must regenerate, not silently reuse stale input
+    done = os.path.join(input_dir, f"_DONE-{n_base}-{n_events}-s42")
     if os.path.exists(done):
         return
     shutil.rmtree(input_dir, ignore_errors=True)

@@ -32,7 +32,7 @@ import time
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from embulk_filter_copy_spark.cdc.dedup import lww_dedup, lww_dedup_salted
+from embulk_filter_copy_spark.cdc.dedup import dedup_events
 from embulk_filter_copy_spark.lake.schema import spark_type
 from embulk_filter_copy_spark.lake.table import LakeTable
 
@@ -285,12 +285,7 @@ def apply_batch(
         lsn_lo = min(r["lsn_min"] for r in prows if r["lsn_min"] is not None)
         lsn_hi = max(r["lsn_max"] for r in prows if r["lsn_max"] is not None)
         keys = tuple(table.key_columns)
-        if dedup == "skip":
-            deduped = data
-        elif dedup == "salted":
-            deduped = lww_dedup_salted(data, keys=keys, lsn_col=lsn_col, n_salts=n_salts)
-        else:
-            deduped = lww_dedup(data, keys=keys, lsn_col=lsn_col)
+        deduped = dedup_events(data, dedup, keys=keys, lsn_col=lsn_col, n_salts=n_salts)
         obs = None
         if exact_applied:
             obs = Observation()
@@ -382,12 +377,7 @@ def apply_batch(
         if table.has_commit(run_id, epoch, eff_seq):
             continue
         keys = tuple(table.key_columns)
-        if dedup == "skip":
-            deduped = sub
-        elif dedup == "salted":
-            deduped = lww_dedup_salted(sub, keys=keys, lsn_col=lsn_col, n_salts=n_salts)
-        else:
-            deduped = lww_dedup(sub, keys=keys, lsn_col=lsn_col)
+        deduped = dedup_events(sub, dedup, keys=keys, lsn_col=lsn_col, n_salts=n_salts)
         deduped = deduped.persist()
         try:
             stats, lineage = _batch_stats(table, deduped, lsn_col)

@@ -87,3 +87,22 @@ def lww_dedup_salted(
         ).alias("_win")
     )
     return merged.select(*keys, *[F.col(f"_win.{c}").alias(c) for c in payload])
+
+
+def dedup_events(
+    events: DataFrame,
+    mode: str,
+    keys: tuple[str, ...] = ("repo", "path"),
+    lsn_col: str = "lsn",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Single dispatch point for the dedup strategy: 'plain' (default
+    one-shuffle max_by), 'salted' (explicit two-phase), or 'skip' (caller
+    guarantees per-key uniqueness already)."""
+    if mode == "skip":
+        return events
+    if mode == "salted":
+        return lww_dedup_salted(events, keys=keys, lsn_col=lsn_col, n_salts=n_salts)
+    if mode == "plain":
+        return lww_dedup(events, keys=keys, lsn_col=lsn_col)
+    raise ValueError(f"unknown dedup mode {mode!r}")

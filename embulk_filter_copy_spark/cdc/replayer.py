@@ -61,6 +61,7 @@ class FanoutApplier:
         self.quarantine = quarantine
         self.merge_mode = merge_mode
         self.results: list[dict] = []
+        self._keys_match: bool | None = None
 
     # transform kinds that never add/drop/reorder ROWS — for these, LWW dedup
     # commutes with the per-sink chain, so the fan-out dedups ONCE and shares
@@ -71,22 +72,36 @@ class FanoutApplier:
             tr[0] in self._PROJECTION_ONLY for leaf in self.leaves for tr in leaf.transforms
         )
 
+    def _sinks_keyed_like_stream(self) -> bool:
+        """Sharing also requires every sink table to dedup on the SAME keys
+        as the stream — a sink keyed on a subset (e.g. repo only) needs its
+        own coarser LWW pass. Checked once (manifest reads only)."""
+        if self._keys_match is None:
+            want = list(self.keys)
+            self._keys_match = all(
+                LakeTable.load(self.spark, leaf.path).key_columns == want
+                for leaf in self.leaves
+            )
+        return self._keys_match
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        from embulk_filter_copy_spark.cdc.dedup import lww_dedup, lww_dedup_salted
+        from embulk_filter_copy_spark.cdc.dedup import dedup_events
 
         dedup_mode = self.dedup
-        if len(self.leaves) > 1 and self._sharable_dedup():
+        if (
+            len(self.leaves) > 1
+            and self._sharable_dedup()
+            and self._sinks_keyed_like_stream()
+        ):
             # shared dedup: one LWW shuffle for ALL sinks instead of one per
             # sink (schema-change rows bypass the key-grouping and are
             # re-sequenced inside apply_batch as usual)
             is_data = F.col("op") != "S"
-            data = batch_df.filter(is_data)
-            if self.dedup == "salted":
-                dd = lww_dedup_salted(data, keys=self.keys, n_salts=self.n_salts)
-            else:
-                dd = lww_dedup(data, keys=self.keys)
+            dd = dedup_events(
+                batch_df.filter(is_data), self.dedup, keys=self.keys, n_salts=self.n_salts
+            )
             batch_df = dd.unionByName(batch_df.filter(~is_data))
             dedup_mode = "skip"
         batch_df = batch_df.persist()
@@ -173,18 +188,32 @@ def replay_stream(
         spark.streams.addListener(recorder)
 
     if source_format == "debezium-jsonl":
-        # Debezium JSON envelopes (newline-delimited); row-image columns are
-        # the engine's input_hint shape
-        from embulk_filter_copy_spark.fixtures.generator import REPO_FILES_SCHEMA
+        # Debezium JSON envelopes (newline-delimited). The row-image columns
+        # come from (in order): an explicit event_schema (envelope columns
+        # lsn/ts/op/schema_change excluded), else the FIRST sink table's
+        # schema — never a hard-coded shape.
         from embulk_filter_copy_spark.sources.debezium import read_debezium_jsonl
 
+        envelope = {"lsn", "ts", "op", "schema_change"}
+        if event_schema is not None:
+            struct = (
+                T.StructType.fromDDL(event_schema)
+                if isinstance(event_schema, str)
+                else event_schema
+            )
+            columns = [(f.name, f.dataType) for f in struct.fields if f.name not in envelope]
+        else:
+            columns = [
+                (f.name, f.type)
+                for f in LakeTable.load(spark, leaves[0].path).schema.fields
+            ]
         opts = (
             {"maxFilesPerTrigger": max_files_per_trigger}
             if max_files_per_trigger is not None
             else None
         )
         stream = read_debezium_jsonl(
-            spark, events_path, REPO_FILES_SCHEMA, streaming=True, options=opts
+            spark, events_path, columns, streaming=True, options=opts
         )
     else:
         reader = spark.readStream.schema(event_schema or event_struct())

@@ -98,6 +98,11 @@ def apply_transforms(
         elif kind == "filter":
             df = df.filter(t[1])
         elif kind == "with_column":
+            if t[1] in prot:
+                # overwriting a key or envelope column would corrupt the
+                # replication machinery (and break the shared-dedup fast
+                # path's per-key-uniqueness guarantee)
+                raise ValueError(f"cannot overwrite protected column {t[1]!r}")
             df = df.withColumn(t[1], F.expr(t[2]))
         elif kind == "rename":
             if t[1] in prot:

@@ -90,7 +90,10 @@ def cmd_changes(args) -> None:
     feed = table.read_changes(args.since_version)
     if args.out:
         feed.write.mode("errorifexists").parquet(args.out)
-        print(json.dumps({"since_version": args.since_version, "rows": feed.count(), "out": args.out}))
+        # count the WRITTEN parquet (footer metadata) — recomputing the feed
+        # for a count would run the whole manifest-diff scan twice
+        rows = spark.read.parquet(args.out).count()
+        print(json.dumps({"since_version": args.since_version, "rows": rows, "out": args.out}))
     else:
         feed.show(args.limit, truncate=False)
 

@@ -290,10 +290,25 @@ class LakeTable:
         Contract: source LSNs must be monotone across commits (the WAL
         property) — a later commit applying an LSN below an earlier
         commit's high-water mark would be filtered as already-seen.
+
+        The emitted rows carry the FULL engine event envelope so the feed
+        replays directly (``apply_batch`` / ``replay_stream``): ``ts`` is a
+        synthetic event time derived from the LSN (``timestamp_micros(lsn)``
+        — monotone, so watermarked stream dedup behaves; the table does not
+        store wall-clock change times), and ``schema_change`` is always
+        NULL — schema evolution propagates via snapshot schemas, not the
+        row feed.
         """
+        # pin ONE version for both the manifest diff and the scan — a
+        # concurrent commit between them must not silently drop its rows
+        cur_version = self.current_version()
         old = self.snapshot_at(since_version)
         old_paths = {f["path"] for f in old["files"]}
-        added = [f for f in self.snapshot()["files"] if f["path"] not in old_paths]
+        added = [
+            f
+            for f in self.snapshot_at(cur_version)["files"]
+            if f["path"] not in old_paths
+        ]
         wm = self.high_lsn(since_version)
         if not added:
             base = self._empty_df(include_meta=True)
@@ -303,15 +318,16 @@ class LakeTable:
             # buckets, then the LSN filter; buckets not present in `added`
             # cannot contain post-watermark rows
             bset = sorted({f["bucket"] for f in added})
-            base = self.read(include_meta=True, buckets=bset)
-        keys = self.key_columns
+            base = self.read(include_meta=True, buckets=bset, version=cur_version)
         changed = base.filter(F.col("_lsn") > F.lit(wm))
         op = F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("D")).otherwise(F.lit("U"))
         cols = [f.name for f in self.schema.fields]
         return changed.select(
             F.col("_lsn").alias("lsn"),
+            F.timestamp_micros(F.col("_lsn")).alias("ts"),
             op.alias("op"),
             *[F.col(c) for c in cols],
+            F.lit(None).cast("string").alias("schema_change"),
         )
 
     # ------------------------------------------------------------------

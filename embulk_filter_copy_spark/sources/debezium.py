@@ -30,9 +30,15 @@ from pyspark.sql import types as T
 from embulk_filter_copy_spark.lake.schema import spark_type
 
 
-def envelope_struct(columns: list[tuple[str, str]]) -> T.StructType:
-    """Spark schema of one Debezium change record over a row type."""
-    row = T.StructType([T.StructField(n, spark_type(t), True) for n, t in columns])
+def envelope_struct(columns: list[tuple[str, object]]) -> T.StructType:
+    """Spark schema of one Debezium change record over a row type.
+    Column types may be engine type strings or Spark ``DataType``s."""
+    row = T.StructType(
+        [
+            T.StructField(n, spark_type(t) if isinstance(t, str) else t, True)
+            for n, t in columns
+        ]
+    )
     return T.StructType(
         [
             T.StructField("op", T.StringType(), True),

@@ -62,8 +62,10 @@ def _update_repo_stats(key, pdf_iter, state: GroupState):
             lo, hi = int(data["lsn"].min()), int(data["lsn"].max())
             lsn_min = lo if lsn_min is None else min(lsn_min, lo)
             lsn_max = hi if lsn_max is None else max(lsn_max, hi)
-            ms = int(data["ts"].max().value // 1_000_000)
-            last_ms = ms if last_ms is None else max(last_ms, ms)
+            ts_max = data["ts"].max()
+            if pd.notna(ts_max):  # all-null ts → keep None, not the NaT sentinel
+                ms = int(ts_max.value // 1_000_000)
+                last_ms = ms if last_ms is None else max(last_ms, ms)
     state.update((n, up, dels, lsn_min, lsn_max, last_ms))
     yield pd.DataFrame(
         [

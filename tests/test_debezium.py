@@ -113,6 +113,31 @@ def test_streaming_replay_from_debezium_wal(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["content"] == "v2"
 
 
+def test_streaming_replay_derives_image_schema_from_sink(spark, tmp_path):
+    """The Debezium path must NOT assume the demo column set: with a sink of
+    a different shape, the row image is parsed using the sink's own schema."""
+    from embulk_filter_copy_spark.cdc.replayer import replay_stream
+
+    schema = [("id", "long"), ("name", "string"), ("score", "double")]
+    recs = [
+        {"op": "c", "before": None, "after": {"id": 1, "name": "a", "score": 0.5},
+         "source": {"lsn": 1, "ts_ms": 1000}, "ts_ms": 1000, "schema_change": None},
+        {"op": "u", "before": None, "after": {"id": 1, "name": "a2", "score": 0.7},
+         "source": {"lsn": 2, "ts_ms": 2000}, "ts_ms": 2000, "schema_change": None},
+        {"op": "c", "before": None, "after": {"id": 2, "name": "b", "score": 0.1},
+         "source": {"lsn": 3, "ts_ms": 3000}, "ts_ms": 3000, "schema_change": None},
+    ]
+    p = _write_jsonl(tmp_path, recs)
+    sink = os.path.join(str(tmp_path), "sink")
+    LakeTable.create(spark, sink, schema, key_columns=["id"], n_buckets=2)
+    replay_stream(
+        spark, p, sink, checkpoint=os.path.join(str(tmp_path), "ckpt"),
+        keys=("id",), source_format="debezium-jsonl",
+    )
+    rows = {r["id"]: (r["name"], r["score"]) for r in LakeTable.load(spark, sink).read().collect()}
+    assert rows == {1: ("a2", 0.7), 2: ("b", 0.1)}
+
+
 def test_streaming_read_shape(spark, tmp_path):
     p = _write_jsonl(tmp_path, _records())
     ev = read_debezium_jsonl(spark, p, REPO_FILES_SCHEMA, streaming=True)

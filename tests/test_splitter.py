@@ -179,6 +179,20 @@ def test_mixed_filter_sink_forces_per_sink_dedup(spark, tmpdir_path):
     assert _final(spark, s_nodel)[cols].equals(golden_nodel[cols].reset_index(drop=True))
 
 
+def test_with_column_cannot_overwrite_protected(spark):
+    """Overwriting a key or envelope column would corrupt replication (and
+    the shared-dedup fast path's uniqueness guarantee) — must raise."""
+    import pytest
+
+    ev = gen_change_events(spark, 10, 20, seed=1)
+    for col in ("repo", "path", "lsn", "op"):
+        with pytest.raises(ValueError, match="protected"):
+            apply_transforms(ev, (("with_column", col, "lower(repo)"),))
+    # non-protected targets still fine
+    out = apply_transforms(ev, (("with_column", "content", "upper(content)"),))
+    assert "content" in out.columns
+
+
 def test_shared_dedup_detection():
     from embulk_filter_copy_spark.cdc.replayer import FanoutApplier
 

@@ -128,10 +128,8 @@ def test_chained_replay_via_read_changes(spark, tmpdir_path):
             "lsn", F.col("lsn") + F.lit(epoch * 1_000_000)
         )
         apply_batch(up, ev, run_id="up", epoch=epoch)
-        feed = up.read_changes(v).withColumn("ts", F.timestamp_seconds(F.lit(1_767_225_900))).withColumn(
-            "schema_change", F.lit(None).cast("string")
-        )
-        apply_batch(down, feed, run_id="down", epoch=epoch)
+        # the feed carries the full event envelope — no column surgery needed
+        apply_batch(down, up.read_changes(v), run_id="down", epoch=epoch)
         v = up.current_version()
     a = sorted(tuple(r) for r in up.read().collect())
     b = sorted(tuple(r) for r in down.read().collect())
