@@ -272,7 +272,7 @@ def main() -> None:
     # latency is still covered by cdc_replay_events below and the test suite).
     headline_input = os.path.join(workroot, "headline-input")
     replay, replay_mor = None, None
-    for trial in range(2):
+    for trial in range(3):  # single-epoch trials are ~5 s; 3 samples vs host waves
         r = replay_throughput(
             spark, BENCH_BASE_ROWS, BENCH_EVENTS,
             os.path.join(workroot, f"replay-t{trial}"),
