@@ -299,16 +299,33 @@ class LakeTable:
         NULL — schema evolution propagates via snapshot schemas, not the
         row feed.
         """
-        # pin ONE version for both the manifest diff and the scan — a
-        # concurrent commit between them must not silently drop its rows
+        # pin ONE version for the manifest diff, the scan AND the output
+        # projection — a concurrent commit (data or schema) between reads
+        # must not silently drop rows or reference columns the pinned scan
+        # lacks
         cur_version = self.current_version()
+        cur_snap = self.snapshot_at(cur_version)
         old = self.snapshot_at(since_version)
         old_paths = {f["path"] for f in old["files"]}
-        added = [
-            f
-            for f in self.snapshot_at(cur_version)["files"]
-            if f["path"] not in old_paths
+        added = [f for f in cur_snap["files"] if f["path"] not in old_paths]
+        # a tombstone-purging compaction between the snapshots has DROPPED
+        # delete markers this feed would otherwise emit as 'D' events —
+        # surfacing silently-lossy feeds as an error beats returning one
+        # (commits are append-only across snapshots, so the new ones are
+        # exactly the suffix past the old count)
+        purged = [
+            c
+            for c in cur_snap["commits"][len(old["commits"]):]
+            if c.get("purged_tombstones")
         ]
+        if purged:
+            raise ValueError(
+                f"read_changes(since_version={since_version}): a tombstone-"
+                "purging compaction committed after that version; delete "
+                "events in the gap are unrecoverable. Run purging compaction "
+                "only after every change-feed consumer has passed the "
+                "tombstone LSNs."
+            )
         wm = self.high_lsn(since_version)
         if not added:
             base = self._empty_df(include_meta=True)
@@ -321,7 +338,12 @@ class LakeTable:
             base = self.read(include_meta=True, buckets=bset, version=cur_version)
         changed = base.filter(F.col("_lsn") > F.lit(wm))
         op = F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("D")).otherwise(F.lit("U"))
-        cols = [f.name for f in self.schema.fields]
+        # columns from the PINNED snapshot's schema — self.schema would
+        # re-read CURRENT and could see a newer schema than the pinned scan
+        pinned_schema = TableSchema.from_json(
+            cur_snap["schemas"][str(cur_snap["schema_version"])]
+        )
+        cols = [f.name for f in pinned_schema.fields]
         return changed.select(
             F.col("_lsn").alias("lsn"),
             F.timestamp_micros(F.col("_lsn")).alias("ts"),
@@ -488,10 +510,14 @@ class LakeTable:
         max_files_per_bucket: int = 1,
     ) -> dict:
         """Rewrite fragmented buckets (small-file compaction) and optionally
-        drop tombstones — safe once every producer's watermark has passed
-        the tombstone LSNs, since a purged tombstone can no longer shield
-        against a late lower-LSN insert. The Iceberg-maintenance analogue;
-        at scale this runs as a background job per bucket range."""
+        drop tombstones — safe once (a) every producer's watermark has
+        passed the tombstone LSNs (a purged tombstone can no longer shield
+        against a late lower-LSN insert) AND (b) every ``read_changes``
+        consumer has passed them too (the purge erases the row a 'D' event
+        would be derived from; ``read_changes`` detects a purging compaction
+        in its gap and raises rather than silently dropping deletes). The
+        Iceberg-maintenance analogue; at scale this runs as a background job
+        per bucket range."""
         by_bucket: dict[int, int] = {}
         delta_buckets = set()
         for f in self.files(buckets):
@@ -509,9 +535,10 @@ class LakeTable:
         df = self.read(include_meta=True, buckets=targets)
         if purge_tombstones:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-        res = self.replace_buckets(
-            targets, df, commit={"run_id": "__compaction__", "epoch": self.current_version(), "seq": 0}
-        )
+        commit = {"run_id": "__compaction__", "epoch": self.current_version(), "seq": 0}
+        if purge_tombstones:
+            commit["purged_tombstones"] = True  # read_changes poison marker
+        res = self.replace_buckets(targets, df, commit=commit)
         return {
             "buckets_compacted": targets,
             "files_before": files_before,

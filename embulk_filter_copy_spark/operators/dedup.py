@@ -178,38 +178,93 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 2,
-    block_col: str = "lang",
+    bands: int = 4,
+    bits: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance within a blocking column
-    (at scale the block is the LSH: split the 16 bits into bands and
-    equi-join; here blocking on a metadata column keeps the demo honest)."""
-    sh = simhash16(df, id_col, text_col).join(df.select(id_col, block_col), id_col)
-    a = sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), block_col)
-    b = sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), block_col)
-    return (
-        a.join(b, block_col)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
-    )
+    """Near-dup pairs by SimHash Hamming distance via bit-band LSH: the
+    ``bits``-bit simhash is split into ``bands`` disjoint bit ranges; docs
+    agreeing exactly on ANY band are candidates (one equi-join per band,
+    co-partitioned on the band key — never an all-pairs join), then
+    candidates are verified with ``bit_count(ha ^ hb) <= max_hamming``.
+
+    With ``bands > max_hamming`` the banding is LOSSLESS (pigeonhole: at
+    most ``max_hamming`` differing bits spread over ``bands`` disjoint bands
+    leave at least one band bit-identical), so the result equals the
+    all-pairs answer without ever forming it. At 100 TB scale the knobs
+    shift to a 64-bit simhash with 16-bit bands (band-key space 2^16, so a
+    band bucket holds ~n/65536 docs); ``max_bucket_size`` additionally caps
+    degenerate buckets exactly like :func:`minhash_candidate_pairs`
+    (capping breaks the lossless guarantee for docs inside capped buckets —
+    the standard recall-for-throughput trade)."""
+    from pyspark.sql import Window
+
+    assert bands > max_hamming, "banding is lossless only when bands > max_hamming"
+    assert bits % bands == 0
+    width = bits // bands
+    sh = simhash16(df, id_col, text_col)
+    pairs = None
+    for i in range(bands):
+        band = sh.withColumn(
+            "_band", F.expr(f"(simhash >> {i * width}) & {2 ** width - 1}")
+        )
+        if max_bucket_size is not None:
+            band = (
+                band.withColumn(
+                    "_bs", F.count(F.lit(1)).over(Window.partitionBy("_band"))
+                )
+                .filter(F.col("_bs") <= max_bucket_size)
+                .drop("_bs")
+            )
+        a = band.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "_band")
+        b = band.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "_band")
+        j = (
+            a.join(b, "_band")
+            .filter(F.col("a") < F.col("b"))
+            # verify INSIDE the band join so the union/distinct only carries
+            # true near-dups, not every band collision
+            .withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as int)"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming")
+        )
+        pairs = j if pairs is None else pairs.unionByName(j)
+    return pairs.distinct()
 
 
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.35, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (at scale: IVF
-    centroid assignment replaces the label block)."""
-    from embulk_filter_copy_spark.operators.similarity import cosine_expr
+    """Embedding-cosine near-dup pairs, blocked by IVF centroid cell — the
+    same coarse quantizer :func:`~.similarity.ann_ivf_topk` uses, so the
+    block count scales with ``n_cells`` instead of being pinned to a
+    metadata column's cardinality. At 100 TB: n_cells grows with the corpus
+    (cells of ~10^4 vectors), the corpus hash-partitions by cell, and each
+    cell's self-join is local. Cell blocking trades recall for boundedness
+    exactly like IVF search (cross-cell near-dups are missed; raise nprobe /
+    n_cells overlap to recover them)."""
+    from embulk_filter_copy_spark.operators.similarity import (
+        assign_cells,
+        cosine_expr,
+        ivf_centroids,
+    )
 
-    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "label")
-    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "label")
+    cents = ivf_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    cells = assign_cells(
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        cents, n_cells, "_v",
+    )
+    a = cells.select(F.col("_id").alias("a"), F.col("_v").alias("va"), "cell")
+    b = cells.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), "cell")
     return (
-        a.join(b, "label")
+        a.join(b, "cell")
         .filter(F.col("a") < F.col("b"))
         .withColumn("cos", F.round(cosine_expr("va", "vb"), 4))
         .filter(F.col("cos") >= threshold)
-        .select("label", "a", "b", "cos")
+        .select("cell", "a", "b", "cos")
     )

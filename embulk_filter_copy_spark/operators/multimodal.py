@@ -1,5 +1,7 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
+with typed metadata. Metadata extraction is pure built-in expressions (the
+fast path); only the codec-requiring decode step uses Arrow-batched
+``mapInPandas``.
 
 The container ships no image/audio codecs, so the DECODE step is stubbed
 (deterministic fake features / NotImplementedError for real codecs) — but the
@@ -35,27 +37,18 @@ def to_media_assets(df: DataFrame, id_col: str, payload_col: str, media_type: st
 
 
 def extract_metadata(assets: DataFrame) -> DataFrame:
-    """mapInPandas metadata pass: byte length, sha256, magic bytes.
-    Runs once per Arrow batch; payload bytes never reach the driver."""
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payload = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": payload.map(lambda b: 0 if b is None else len(b)),
-                    "sha256": payload.map(
-                        lambda b: None if b is None else hashlib.sha256(bytes(b)).hexdigest()
-                    ),
-                    "magic": payload.map(
-                        lambda b: None if b is None else bytes(b)[:4].hex()
-                    ),
-                }
-            )
-
-    return assets.mapInPandas(op, schema=MEDIA_META_SCHEMA)
+    """All-JVM metadata pass: byte length, sha256, magic bytes — pure
+    built-in expressions (whole-stage-codegen'd, no Arrow crossing, no
+    Python in the row path). ``mapInPandas`` is reserved for the one step
+    that genuinely needs a Python codec (:func:`decode_and_featurize`)."""
+    payload = F.col("payload")
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.coalesce(F.length(payload), F.lit(0)).cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("sha256"),
+        F.lower(F.hex(F.substring(payload, 1, 4))).alias("magic"),
+    )
 
 
 def decode_and_featurize(assets: DataFrame, n_features: int = 8, real_codec: bool = False) -> DataFrame:

@@ -59,6 +59,45 @@ def ann_bruteforce_topk(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The first ``n_cells`` corpus vectors in id order, re-indexed to dense
+    cell ids 0..n_cells-1 via ``row_number`` (a deterministic,
+    oracle-replayable stand-in for a k-means pass). The explicit re-index
+    means ids need NOT be 0-based or contiguous — filtering on the raw id
+    would silently yield empty cells for any other corpus."""
+    w = W.orderBy(id_col)
+    return (
+        emb.orderBy(id_col).limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).alias("cent_id"),
+            F.col(vec_col).alias("cent_v"),
+        )
+    )
+
+
+def assign_cells(df: DataFrame, cents: DataFrame, n_cells: int, vc: str) -> DataFrame:
+    """Assign every row to its max-cosine centroid cell (ties → lowest cell
+    id). Centroids are broadcast (tiny); cell-to-centroid cosines are
+    rounded to 6dp before the argmax so the assignment is reproducible
+    across engines."""
+    out = df
+    for i in range(n_cells):
+        c = cents.filter(F.col("cent_id") == F.lit(i)).select(
+            F.col("cent_v").alias(f"ct{i}")
+        )
+        out = out.crossJoin(F.broadcast(c))
+    cos = [F.round(cosine_expr(vc, f"ct{i}"), 6) for i in range(n_cells)]
+    best = F.greatest(*cos)
+    cell = F.lit(-1)
+    for i in reversed(range(n_cells)):  # outermost when = cell 0 → lowest wins ties
+        cell = F.when(cos[i] == best, F.lit(i)).otherwise(cell)
+    return out.withColumn("cell", cell.cast("int")).drop(
+        *[f"ct{i}" for i in range(n_cells)]
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -67,38 +106,21 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN (coarse quantizer + inverted lists): centroids are the
-    first ``n_cells`` corpus vectors by id (deterministic + oracle-replayable,
-    standing in for a k-means pass), every vector is assigned to its
-    max-cosine cell (ties → lowest cell id), and candidates are restricted to
-    the query's cell (nprobe=1). At scale the corpus is hash-partitioned by
+    """IVF-style ANN (coarse quantizer + inverted lists): deterministic
+    centroids (:func:`ivf_centroids`), every vector assigned to its
+    max-cosine cell (:func:`assign_cells`), candidates restricted to the
+    query's cell (nprobe=1). At scale the corpus is hash-partitioned by
     ``cell`` so each inverted list is co-located and the probe is a
-    broadcast-per-cell join instead of a full scan; cell-to-centroid cosines
-    are rounded to 6dp before the argmax so the assignment is reproducible
-    across engines."""
-    cents = (
-        emb.orderBy(id_col).limit(n_cells)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v"))
+    broadcast-per-cell join instead of a full scan."""
+    cents = ivf_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    c = assign_cells(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cents, n_cells, "cv",
     )
-
-    def with_cell(df: DataFrame, vc: str) -> DataFrame:
-        out = df
-        for i in range(n_cells):
-            c = cents.filter(F.col("cent_id") == F.lit(i)).select(
-                F.col("cent_v").alias(f"ct{i}")
-            )
-            out = out.crossJoin(F.broadcast(c))
-        cos = [F.round(cosine_expr(vc, f"ct{i}"), 6) for i in range(n_cells)]
-        best = F.greatest(*cos)
-        cell = F.lit(-1)
-        for i in reversed(range(n_cells)):  # outermost when = cell 0 → lowest wins ties
-            cell = F.when(cos[i] == best, F.lit(i)).otherwise(cell)
-        return out.withColumn("cell", cell.cast("int")).drop(
-            *[f"ct{i}" for i in range(n_cells)]
-        )
-
-    c = with_cell(emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv")
-    q = with_cell(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv")
+    q = assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        cents, n_cells, "qv",
+    )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -121,11 +143,16 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """LSH-bucketed ANN: hyperplanes are the first ``n_planes`` corpus
-    vectors by id (deterministic + oracle-replayable). Candidates = same
-    bucket; top-k by exact cosine within candidates."""
+    vectors by id, re-indexed densely like :func:`ivf_centroids`
+    (deterministic + oracle-replayable). Candidates = same bucket; top-k by
+    exact cosine within candidates."""
+    w = W.orderBy(id_col)
     planes = (
         emb.orderBy(id_col).limit(n_planes)
-        .select(F.col(id_col).alias("plane_id"), F.col(vec_col).alias("plane_v"))
+        .select(
+            (F.row_number().over(w) - 1).alias("plane_id"),
+            F.col(vec_col).alias("plane_v"),
+        )
     )
 
     def with_bucket(df: DataFrame, idc: str, vc: str) -> DataFrame:
@@ -146,7 +173,9 @@ def ann_lsh_topk(
     c = with_bucket(emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "neighbor_id", "cv")
     q = with_bucket(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "query_id", "qv")
     scored = (
-        c.join(q, "bucket")
+        # queries are the small side by construction — broadcast them so the
+        # corpus never shuffles (same hint as the brute/IVF siblings)
+        c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round(cosine_expr("cv", "qv"), 4))
     )

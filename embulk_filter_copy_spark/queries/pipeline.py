@@ -137,7 +137,11 @@ SELECT a, b, jaccard FROM (
 
 # ------------------------------------------------------------- simhash
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=2, block_col="lang")
+    """Bit-band LSH pairs (4 bands x 4 bits). bands > max_hamming makes the
+    banding lossless, so the all-pairs oracle below is EXACTLY the banded
+    result — the oracle verifies the plan found every pair without itself
+    replaying the banding."""
+    return D.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=2, bands=4)
 
 
 DEDUP_SIMHASH_SQL = f"""
@@ -150,12 +154,11 @@ votes AS (
 sh AS (
   SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
-),
-d AS (SELECT s.doc_id, s.simhash, dd.lang FROM sh s JOIN documents dd USING (doc_id))
+)
 SELECT a, b, hamming FROM (
   SELECT x.doc_id AS a, y.doc_id AS b,
          CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-  FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
 ) WHERE hamming <= 2
 """
 
@@ -166,15 +169,45 @@ _DCOS = (
 )
 
 
+def _cell_cte(n_cells: int = 4) -> str:
+    """DuckDB mirror of ivf_centroids + assign_cells: centroid i is the
+    (i+1)-th corpus vector in id order (OFFSET — explicitly positional, not
+    assuming 0-based contiguous ids), every vector goes to its max-cosine
+    cell with 6dp rounding and lowest-cell-id tie-break."""
+
+    def cent_cos(i: int) -> str:
+        ci = f"(SELECT e FROM e ORDER BY vec_id LIMIT 1 OFFSET {i})"
+        return (
+            f"round(list_dot_product(e, {ci})"
+            f" / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product({ci}, {ci}))), 6)"
+        )
+
+    cols = ",\n         ".join(f"{cent_cos(i)} AS c{i}" for i in range(n_cells))
+    best = "greatest(" + ", ".join(f"c{i}" for i in range(n_cells)) + ")"
+    cell = "-1"
+    for i in reversed(range(n_cells)):  # lowest cell id wins ties (matches Spark)
+        cell = f"CASE WHEN c{i} = {best} THEN {i} ELSE {cell} END"
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (
+  SELECT vec_id, e, CAST({cell} AS INT) AS cell
+  FROM (SELECT vec_id, e,
+         {cols}
+        FROM e)
+)"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return D.embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.35, n_cells=4
+    )
 
 
 DEDUP_EMB_SQL = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
-SELECT label, a, b, cos FROM (
-  SELECT x.label, x.vec_id AS a, y.vec_id AS b, round({_DCOS}, 4) AS cos
-  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+WITH {_cell_cte(4)}
+SELECT cell, a, b, cos FROM (
+  SELECT x.cell, x.vec_id AS a, y.vec_id AS b, round({_DCOS}, 4) AS cos
+  FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
 ) WHERE cos >= 0.35
 """
 
@@ -203,26 +236,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_sql(n_cells: int = 4, k: int = 5) -> str:
-    def cent_cos(i: int) -> str:
-        ci = f"(SELECT e FROM e WHERE vec_id = {i})"
-        return (
-            f"round(list_dot_product(e, {ci})"
-            f" / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product({ci}, {ci}))), 6)"
-        )
-
-    cols = ",\n         ".join(f"{cent_cos(i)} AS c{i}" for i in range(n_cells))
-    best = "greatest(" + ", ".join(f"c{i}" for i in range(n_cells)) + ")"
-    cell = "-1"
-    for i in reversed(range(n_cells)):  # lowest cell id wins ties (matches Spark)
-        cell = f"CASE WHEN c{i} = {best} THEN {i} ELSE {cell} END"
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-b AS (
-  SELECT vec_id, e, CAST({cell} AS INT) AS cell
-  FROM (SELECT vec_id, e,
-         {cols}
-        FROM e)
-),
+WITH {_cell_cte(n_cells)},
 scored AS (
   SELECT y.vec_id AS query_id, x.cell, x.vec_id AS neighbor_id, round({_DCOS}, 4) AS cos
   FROM b x JOIN b y ON x.cell = y.cell AND y.vec_id < 5 AND x.vec_id <> y.vec_id
@@ -239,14 +254,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), n_planes=4, k=5)
 
 
-ANN_LSH_SQL = """
+def _plane(i: int) -> str:
+    # positional plane selection (OFFSET), mirroring the Spark row_number
+    # re-index — no assumption that ids are 0-based contiguous
+    return f"(SELECT e FROM e ORDER BY vec_id LIMIT 1 OFFSET {i})"
+
+
+ANN_LSH_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 b AS (
   SELECT vec_id, e,
-         (CASE WHEN list_dot_product(e, (SELECT e FROM e WHERE vec_id = 0)) > 0 THEN 1 ELSE 0 END
-        + CASE WHEN list_dot_product(e, (SELECT e FROM e WHERE vec_id = 1)) > 0 THEN 2 ELSE 0 END
-        + CASE WHEN list_dot_product(e, (SELECT e FROM e WHERE vec_id = 2)) > 0 THEN 4 ELSE 0 END
-        + CASE WHEN list_dot_product(e, (SELECT e FROM e WHERE vec_id = 3)) > 0 THEN 8 ELSE 0 END) AS bucket
+         (CASE WHEN list_dot_product(e, {_plane(0)}) > 0 THEN 1 ELSE 0 END
+        + CASE WHEN list_dot_product(e, {_plane(1)}) > 0 THEN 2 ELSE 0 END
+        + CASE WHEN list_dot_product(e, {_plane(2)}) > 0 THEN 4 ELSE 0 END
+        + CASE WHEN list_dot_product(e, {_plane(3)}) > 0 THEN 8 ELSE 0 END) AS bucket
   FROM e
 ),
 scored AS (

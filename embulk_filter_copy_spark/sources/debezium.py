@@ -99,12 +99,17 @@ def parse_debezium(
     env = F.from_json(F.col(value_col), schema)
     if payload_wrapper:
         env = env["payload"]
-    bad = F.col(value_col).isNotNull() & env.isNull()
-    return (
-        df.withColumn("_env", env)
-        .withColumn("_bad", bad)
-        .select(*_event_cols(F.col("_env"), columns), F.col("_bad"))
+    raw = df[value_col]
+    out = df.withColumn("_env", env).select(
+        *_event_cols(F.col("_env"), columns), raw.alias("_raw")
     )
+    # dead-letter flag: non-null input that either failed to parse OR parsed
+    # to an unknown/missing op (anything outside c/r/u/d/s maps op to NULL
+    # and would otherwise vanish through every downstream op filter without
+    # being counted — both failure shapes route through the same _bad path)
+    return out.withColumn(
+        "_bad", F.col("_raw").isNotNull() & F.col("op").isNull()
+    ).drop("_raw")
 
 
 def read_debezium_jsonl(
@@ -119,10 +124,10 @@ def read_debezium_jsonl(
     """Read newline-delimited Debezium JSON files (batch or file-stream)
     as engine events, ready for ``apply_batch`` / ``replay_stream``.
 
-    Malformed lines parse to all-null envelopes; ``drop_malformed`` filters
-    them (count them upstream via ``observe`` if a dead-letter metric is
-    needed — keeping the filter declarative preserves pushdown of later
-    predicates into the scan).
+    Malformed lines (unparseable JSON OR unknown/missing op) carry
+    ``_bad=true``; ``drop_malformed`` filters them (count them upstream via
+    ``observe`` if a dead-letter metric is needed — keeping the filter
+    declarative preserves pushdown of later predicates into the scan).
     """
     line = T.StructType([T.StructField("value", T.StringType(), True)])
     reader = (spark.readStream if streaming else spark.read).schema(line)

@@ -148,3 +148,17 @@ def test_streaming_read_shape(spark, tmp_path):
     )
     out.awaitTermination()
     assert spark.sql("select count(*) n from dbz_stream").collect()[0]["n"] == 4
+
+
+def test_unknown_op_routes_to_dead_letter(spark, tmp_path):
+    """Valid JSON with a missing/unrecognized op must be flagged _bad, not
+    silently vanish through downstream op filters (round-1 advice finding)."""
+    recs = _records() + [
+        {"op": "x", "before": None, "after": _row("r9", "z.py"),
+         "source": {"lsn": 9, "ts_ms": 9000}, "ts_ms": 9000, "schema_change": None},
+        {},  # empty object: parses, no op
+    ]
+    p = _write_jsonl(tmp_path, recs, junk=True)
+    kept = read_debezium_jsonl(spark, p, REPO_FILES_SCHEMA, drop_malformed=False)
+    assert kept.filter(F.col("_bad")).count() == 3   # junk + unknown-op + empty
+    assert read_debezium_jsonl(spark, p, REPO_FILES_SCHEMA).count() == 4

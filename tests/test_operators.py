@@ -169,3 +169,71 @@ def test_multimodal_metadata_and_stub_features(spark):
 
     with pytest.raises(Exception):  # NotImplementedError surfaced through Spark
         M.decode_and_featurize(assets, real_codec=True).collect()
+
+
+def test_simhash_banding_is_lossless(spark):
+    """bands > max_hamming ⇒ the banded equi-join finds EXACTLY the
+    all-pairs hamming result (pigeonhole), verified against brute force on
+    a corpus big enough to have non-trivial collisions."""
+    import random
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rnd.sample(vocab, 12))) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = {(r["a"], r["b"], r["hamming"])
+              for r in D.simhash_pairs(df, max_hamming=2, bands=4).collect()}
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash16(df).collect()}
+    brute = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a in sh for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 2
+    }
+    assert banded == brute
+
+
+def test_simhash_band_bucket_cap(docs):
+    # cap=1 drops every shared bucket → no pairs even for exact dups
+    assert D.simhash_pairs(docs, max_hamming=0, max_bucket_size=1).count() == 0
+
+
+def test_embedding_near_dup_cell_blocked(spark):
+    rows = [
+        # first two ids become the centroids → make them orthogonal
+        (10, [1.0, 0.0]), (11, [0.0, 1.0]),
+        (12, [0.99, 0.01]), (13, [0.01, 0.99]),  # near dups of the centroids
+        (14, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a"], r["b"]): r["cell"]
+             for r in D.embedding_near_dup_pairs(emb, threshold=0.9, n_cells=2).collect()}
+    # ids are NOT 0-based — the explicit centroid re-index must still work
+    assert (10, 12) in pairs and (11, 13) in pairs
+    # cross-cell pairs are (by design) never candidates
+    assert set(pairs) == {(10, 12), (11, 13)}
+
+
+def test_ivf_noncontiguous_ids(spark):
+    """Centroid selection must be positional — non-0-based ids used to
+    silently produce empty results (round-1 advice finding)."""
+    rows = [(100, [1.0, 0.0]), (200, [0.0, 1.0]), (300, [0.9, 0.1]), (400, [0.1, 0.9])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.ann_ivf_topk(emb, emb.filter("vec_id = 100"), n_cells=2, k=2).collect()
+    assert got and {r["neighbor_id"] for r in got} == {300}
+    # 300/400 share an LSH bucket (both positive on both planes)
+    lsh = S.ann_lsh_topk(emb, emb.filter("vec_id = 300"), n_planes=2, k=2).collect()
+    assert lsh and {r["neighbor_id"] for r in lsh} == {400}
+
+
+def test_jaccard_max_doc_freq_bounds_fanout(spark):
+    """The stop-shingle cut: a token present in every doc (boilerplate)
+    would alone make every doc pair a candidate; capping document frequency
+    removes it from the inverted index and collapses the candidate set."""
+    rows = [(i, "common unique%d extra%d" % (i, i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.ngram_jaccard_pairs(df, threshold=0.01, n=1)
+    capped = D.ngram_jaccard_pairs(df, threshold=0.01, n=1, max_doc_freq=10)
+    # 'common' links all 30 docs → C(30,2) candidate pairs uncapped
+    assert uncapped.count() == 30 * 29 // 2
+    # with the hot shingle cut, no shared shingles remain at all
+    assert capped.count() == 0

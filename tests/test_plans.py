@@ -101,3 +101,33 @@ def test_events_scan_prunes_partitions_by_lsn(spark):
     df = spark.read.parquet(os.path.join(d, "ev")).filter(F.col("lsn") > 400)
     p = plan(df)
     assert "PushedFilters" in p and "GreaterThan(lsn,400)" in p
+
+
+def test_multimodal_metadata_plan_is_python_free(spark):
+    """Metadata extraction must be pure JVM expressions — an Arrow crossing
+    (MapInPandas / *EvalPython) for length/sha2/hex is banned overhead."""
+    from embulk_filter_copy_spark.queries.pipeline import multimodal_metadata
+
+    p = plan(multimodal_metadata(spark, SF))
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in p
+
+
+def test_simhash_pairs_plan_is_banded_not_blocked(spark):
+    """The near-dup join must key on simhash bit-bands, not a metadata
+    column — metadata blocking is an all-pairs join in disguise."""
+    from embulk_filter_copy_spark.queries.pipeline import dedup_simhash_pairs
+
+    p = plan(dedup_simhash_pairs(spark, SF))
+    assert "lang" not in p
+    assert "_band" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_embedding_near_dup_plan_is_cell_blocked(spark):
+    """Embedding near-dup must block on IVF cells (scales with n_cells),
+    not the label metadata column (fixed cardinality → quadratic blocks)."""
+    from embulk_filter_copy_spark.queries.pipeline import dedup_embedding_cosine
+
+    p = plan(dedup_embedding_cosine(spark, SF))
+    assert "cell" in p and "label" not in p

@@ -134,3 +134,30 @@ def test_chained_replay_via_read_changes(spark, tmpdir_path):
     a = sorted(tuple(r) for r in up.read().collect())
     b = sorted(tuple(r) for r in down.read().collect())
     assert a == b and len(a) > 0
+
+
+def test_read_changes_raises_after_tombstone_purge(spark, tmpdir_path):
+    """A purging compaction between since_version and the read erases the
+    tombstone rows 'D' events derive from — the feed must refuse to return
+    a silently delete-less answer."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "purged"),
+        [("k", "long"), ("v", "string")], key_columns=["k"], n_buckets=2,
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+             .withColumn("_lsn", F.lit(1)))
+    v0 = t.current_version()
+    # delete k=2 (tombstone), then purge tombstones
+    t.append(spark.createDataFrame([(2, None)], "k long, v string")
+             .withColumn("_lsn", F.lit(5)).withColumn("_deleted", F.lit(True)),
+             commit={"run_id": "r", "epoch": 0, "seq": -1, "lsn_min": 5, "lsn_max": 5})
+    t.compact(purge_tombstones=True)
+    with pytest.raises(ValueError, match="tombstone"):
+        t.read_changes(since_version=v0)
+    # non-purging compaction keeps the feed readable (existing guarantee)
+    assert t.read_changes(since_version=t.current_version()).count() == 0
