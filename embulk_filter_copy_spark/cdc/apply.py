@@ -284,21 +284,38 @@ def apply_batch(
         buckets = sorted({b for r in prows for b in r["buckets"]})
         lsn_lo = min(r["lsn_min"] for r in prows if r["lsn_min"] is not None)
         lsn_hi = max(r["lsn_max"] for r in prows if r["lsn_max"] is not None)
+        ts_hi = max((r["ts_max"] for r in prows if r["ts_max"] is not None), default=None)
         keys = tuple(table.key_columns)
         deduped = dedup_events(data, dedup, keys=keys, lsn_col=lsn_col, n_salts=n_salts)
+        # exact post-dedup applied count, by path:
+        #   * dedup='skip'  — the batch is already per-key unique: raw_rows
+        #     IS the applied count (free; the shared fan-out dedup case)
+        #   * exact_applied — Observation collected during the merge's own
+        #     write job (free; the batch path)
+        #   * streaming     — Observation.get deadlocks inside foreachBatch,
+        #     so count distinct keys against the foreachBatch-persisted
+        #     cache (one key-only shuffle job; content never moves)
         obs = None
-        if exact_applied:
+        if dedup == "skip":
+            applied_pre = raw_rows
+        elif exact_applied:
             obs = Observation()
             deduped = deduped.observe(obs, F.count(F.lit(1)).alias("applied"))
+            applied_pre = None
+        else:
+            applied_pre = data.select(*keys).distinct().count()
         commit = {
             "run_id": run_id,
             "epoch": epoch,
             "seq": EPOCH_DONE_SEQ,
             "lsn_min": lsn_lo,
             "lsn_max": lsn_hi,
-            # manifest records the SOURCE row count covered by this commit
-            # (pre-dedup); the exact applied count lands in the lineage file
-            "rows_applied": raw_rows,
+            "ts_max": ts_hi.timestamp() if ts_hi is not None else None,
+            # exact post-dedup applied count when known at commit-build time
+            # (observe-path exactness lands in the lineage file instead);
+            # rows_source is always the pre-dedup coverage
+            "rows_applied": applied_pre if applied_pre is not None else raw_rows,
+            "rows_source": raw_rows,
         }
         if merge_mode == "mor":
             ret = append_delta_batch(table, deduped, commit, lsn_col=lsn_col, op_col=op_col)
@@ -306,10 +323,10 @@ def apply_batch(
             ret = merge_into(table, deduped, commit, buckets=buckets, lsn_col=lsn_col, op_col=op_col)
         if obs is not None:
             applied = int(obs.get["applied"])
-        elif merge_mode == "mor":
-            applied = int(ret["rows"])  # delta rows written == applied
+        elif applied_pre is not None:
+            applied = applied_pre
         else:
-            applied = raw_rows  # source rows covered (upper bound)
+            applied = int(ret["rows"])  # mor: delta rows written == applied
         dur = max(time.time() - t0, 1e-9)
         lineage = [
             {"partition_id": r["_pid"], "lsn_min": r["lsn_min"],
@@ -334,13 +351,24 @@ def apply_batch(
     if quarantine is not None:
         qpath, delta = quarantine
         ts_max = max((r["ts_max"] for r in prows if r["ts_max"] is not None), default=None)
-        if ts_max is not None:
-            threshold = ts_max.timestamp() - delta
-            late = data.filter(F.col("ts").cast("double") < F.lit(threshold))
-            quarantined = late.count()
-            if quarantined:
-                late.write.mode("append").parquet(qpath)
-                data = data.filter(F.col("ts").cast("double") >= F.lit(threshold))
+        # stream-level high-water mark: the threshold advances with the MAX
+        # event time ever committed to this table (carried in the commit
+        # manifests), not just this batch's max — a batch consisting
+        # entirely of late events is fully quarantined instead of slipping
+        # through because it defines its own "now"
+        batch_ts = ts_max.timestamp() if ts_max is not None else None
+        hwm = table.high_ts()
+        ref = max((v for v in (batch_ts, hwm) if v is not None), default=None)
+        if ref is not None:
+            threshold = ref - delta
+            late = data.filter(F.col("ts").cast("double") < F.lit(threshold)).persist()
+            try:
+                quarantined = late.count()
+                if quarantined:
+                    late.write.mode("append").parquet(qpath)
+                    data = data.filter(F.col("ts").cast("double") >= F.lit(threshold))
+            finally:
+                late.unpersist()
 
     # build the unit list: (seq, kind, payload)
     boundaries = [l for l, _ in schema_events]
@@ -389,7 +417,9 @@ def apply_batch(
                 "seq": eff_seq,
                 "lsn_min": stats["lsn_min"],
                 "lsn_max": stats["lsn_max"],
+                # stats are computed over the deduped batch → exact applied
                 "rows_applied": stats["rows"],
+                "ts_max": stats["ts_max"].timestamp() if stats["ts_max"] is not None else None,
             }
             if merge_mode == "mor":
                 append_delta_batch(table, deduped, commit, lsn_col=lsn_col, op_col=op_col)

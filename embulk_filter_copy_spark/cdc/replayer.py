@@ -39,7 +39,16 @@ def run_id_for_checkpoint(checkpoint: str) -> str:
 
 
 class FanoutApplier:
-    """foreachBatch callable: persist once, merge into every leaf sink."""
+    """foreachBatch callable: persist once, merge into every leaf sink —
+    concurrently. The reference runs every copy branch on its own thread
+    (CopyFilterPlugin.scala:97-114, ReuseInputExecutorPlugin.scala:37-51);
+    here each sink's merge is submitted from its own driver thread, so
+    Spark's scheduler overlaps the N independent merge jobs instead of
+    serializing them — with idle cluster capacity, epoch latency approaches
+    max(per-sink merge) rather than sum. Per-(sink, epoch) manifests make
+    the concurrent commits independent; a failed sink fails the epoch and
+    the at-least-once restart re-applies only the sinks whose manifests are
+    missing."""
 
     def __init__(
         self,
@@ -51,6 +60,7 @@ class FanoutApplier:
         n_salts: int = 16,
         quarantine: tuple[str, int] | None = None,
         merge_mode: str = "cow",
+        max_sink_threads: int = 8,
     ):
         self.spark = spark
         self.leaves = leaves
@@ -60,6 +70,7 @@ class FanoutApplier:
         self.n_salts = n_salts
         self.quarantine = quarantine
         self.merge_mode = merge_mode
+        self.max_sink_threads = max_sink_threads
         self.results: list[dict] = []
         self._keys_match: bool | None = None
 
@@ -105,27 +116,40 @@ class FanoutApplier:
             batch_df = dd.unionByName(batch_df.filter(~is_data))
             dedup_mode = "skip"
         batch_df = batch_df.persist()
+
+        def apply_leaf(leaf: LeafSink) -> dict:
+            table = LakeTable.load(self.spark, leaf.path)
+            df = apply_transforms(batch_df, leaf.transforms, keys=self.keys)
+            res = apply_batch(
+                table,
+                df,
+                run_id=self.run_id,
+                epoch=int(epoch_id),
+                dedup=dedup_mode,
+                n_salts=self.n_salts,
+                quarantine=self.quarantine,
+                merge_mode=self.merge_mode,
+                exact_applied=False,  # Observation.get deadlocks in foreachBatch
+            )
+            res["sink"] = leaf.name
+            return res
+
         try:
             # materialize the cache once; also satisfies Spark 4.x's
             # state-store commit validation on replayed (all-skipped) epochs,
             # which requires foreachBatch to process the whole DataFrame
             batch_df.count()
-            for leaf in self.leaves:
-                table = LakeTable.load(self.spark, leaf.path)
-                df = apply_transforms(batch_df, leaf.transforms, keys=self.keys)
-                res = apply_batch(
-                    table,
-                    df,
-                    run_id=self.run_id,
-                    epoch=int(epoch_id),
-                    dedup=dedup_mode,
-                    n_salts=self.n_salts,
-                    quarantine=self.quarantine,
-                    merge_mode=self.merge_mode,
-                    exact_applied=False,  # Observation.get deadlocks in foreachBatch
-                )
-                res["sink"] = leaf.name
-                self.results.append(res)
+            if len(self.leaves) == 1:
+                self.results.append(apply_leaf(self.leaves[0]))
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                workers = min(len(self.leaves), self.max_sink_threads)
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    futs = [ex.submit(apply_leaf, leaf) for leaf in self.leaves]
+                    # gather in leaf order (deterministic results list);
+                    # the first failure propagates and fails the epoch
+                    self.results.extend(f.result() for f in futs)
         finally:
             batch_df.unpersist()
 

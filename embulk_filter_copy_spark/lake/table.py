@@ -273,6 +273,16 @@ class LakeTable:
             default=0,
         )
 
+    def high_ts(self, version: int | None = None) -> float | None:
+        """Highest event time (epoch seconds) covered by a snapshot's commit
+        manifests — the stream-level late-data high-water mark the
+        quarantine threshold advances against."""
+        snap = self.snapshot() if version is None else self.snapshot_at(version)
+        return max(
+            (c["ts_max"] for c in snap["commits"] if c.get("ts_max") is not None),
+            default=None,
+        )
+
     def read_changes(self, since_version: int) -> DataFrame:
         """Incremental change scan: the net per-key changes committed AFTER
         ``since_version`` — the table acting as a CDC *source* (the lake

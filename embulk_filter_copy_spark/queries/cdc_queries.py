@@ -269,22 +269,30 @@ def streaming_stateful_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("ts").cast("timestamp").alias("ts"),
         )
     )
-    rows: list = []
+    # update-mode emissions land in a parquet spill dir (executor-side
+    # append, NEVER collected to the driver — at scale the emission stream
+    # is O(keys x epochs)); the last emission per key is then reduced
+    # distributed with one max_by aggregation
+    out_dir = tempfile.mkdtemp(prefix="efc-stateful-out-")
     q = (
         repo_change_stats(stream)
-        .writeStream.foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .writeStream.foreachBatch(
+            lambda df, eid: df.write.mode("append").parquet(out_dir)
+        )
         .outputMode("update")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="efc-stateful-q-"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    latest: dict = {}
-    for r in rows:
-        prev = latest.get(r["repo"])
-        if prev is None or (r["lsn_max"] or -1) >= (prev["lsn_max"] or -1):
-            latest[r["repo"]] = r
-    return spark.createDataFrame(list(latest.values()), repo_change_stats(stream).schema)
+    emitted = spark.read.schema(repo_change_stats(stream).schema).parquet(out_dir)
+    payload = [c for c in emitted.columns if c != "repo"]
+    order = F.coalesce(F.col("lsn_max"), F.lit(-1))
+    return (
+        emitted.groupBy("repo")
+        .agg(F.max_by(F.struct(*payload), order).alias("_w"))
+        .select("repo", *[F.col(f"_w.{c}").alias(c) for c in payload])
+    )
 
 
 STATEFUL_STATS_SQL = """

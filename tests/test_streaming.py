@@ -119,3 +119,47 @@ def test_quarantine_late_events(spark, tmpdir_path):
     assert q.count() == 1 and q.first()["repo"] == "late/r"
     assert t.read().filter("repo = 'late/r'").count() == 0
     _parity(t, base, ev)  # oracle over the non-late events only
+
+
+def test_streaming_commit_records_exact_applied(spark, tmpdir_path):
+    """Manifest rows_applied must equal the post-dedup (distinct-key) count,
+    not the raw source count, even inside foreachBatch where Observation is
+    unusable (round-1 gap: exact_applied=False approximated it)."""
+    t, base = _bootstrap(spark, tmpdir_path, n_base=60, seed=9)
+    ev = gen_change_events(spark, 60, 300, seed=9)
+    log = os.path.join(tmpdir_path, "log")
+    ev.coalesce(1).write.parquet(log)  # single chunk → one epoch
+    replay_stream(spark, log, os.path.join(tmpdir_path, "tbl"),
+                  checkpoint=os.path.join(tmpdir_path, "ckpt"))
+    commits = [c for c in t.commits() if c.get("run_id") != "__compaction__"
+               and c.get("rows_source") is not None]
+    assert len(commits) == 1
+    expect = ev.filter("op != 'S'").select("repo", "path").distinct().count()
+    assert commits[0]["rows_applied"] == expect
+    # rows_source counts events AFTER the stream's exact-redelivery drop
+    # (dropDuplicatesWithinWatermark on keys+lsn)
+    assert commits[0]["rows_source"] == (
+        ev.filter("op != 'S'").select("repo", "path", "lsn").distinct().count()
+    )
+    assert commits[0]["rows_applied"] <= commits[0]["rows_source"]
+
+
+def test_all_late_batch_quarantined_via_high_water_mark(spark, tmpdir_path):
+    """A batch consisting ENTIRELY of late events must still quarantine:
+    the threshold derives from the table-level max-event-time high-water
+    mark (commit manifests), not only the batch's own max ts."""
+    from embulk_filter_copy_spark.cdc.apply import apply_batch
+
+    t, base = _bootstrap(spark, tmpdir_path, n_base=50, seed=7)
+    ev = gen_change_events(spark, 50, 200, seed=7)
+    qpath = os.path.join(tmpdir_path, "q")
+    # epoch 0: normal events — establishes the ts high-water mark
+    r0 = apply_batch(t, ev, run_id="hwm", epoch=0, quarantine=(qpath, 600))
+    assert r0["quarantined"] == 0 and t.high_ts() is not None
+    # epoch 1: every event 2h older than the HWM → all quarantined
+    late = ev.withColumn("ts", F.col("ts") - F.expr("INTERVAL 2 HOURS")).withColumn(
+        "lsn", F.col("lsn") + F.lit(10_000_000)
+    )
+    r1 = apply_batch(t, late, run_id="hwm", epoch=1, quarantine=(qpath, 600))
+    assert r1["quarantined"] == late.count()
+    assert r1["rows_applied"] == 0
