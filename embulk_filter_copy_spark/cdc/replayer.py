@@ -170,6 +170,7 @@ def replay_stream(
     merge_mode: str = "cow",
     progress_dir: str | None = None,
     source_format: str = "parquet",
+    payload_wrapper: bool = False,
 ) -> list[dict]:
     """Structured-Streaming replay of an event-log directory into N sinks.
 
@@ -237,7 +238,8 @@ def replay_stream(
             else None
         )
         stream = read_debezium_jsonl(
-            spark, events_path, columns, streaming=True, options=opts
+            spark, events_path, columns, streaming=True, options=opts,
+            payload_wrapper=payload_wrapper,
         )
     else:
         reader = spark.readStream.schema(event_schema or event_struct())

@@ -35,10 +35,60 @@ _WIDEN_OK = {
 }
 
 
+# Spark simpleString aliases that normalize back to engine primitive names
+_PRIM_ALIAS = {"bigint": "long", "integer": "int", "bool": "boolean"}
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at angle-bracket depth 0 (``a:int,b:map<string,int>``
+    → two parts)."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def spark_type(name: str) -> T.DataType:
-    if name not in _SPARK_TYPE:
-        raise ValueError(f"unsupported lake type: {name!r}")
-    return _SPARK_TYPE[name]
+    """Engine type string → Spark type. Primitives come from the fixed map;
+    complex types (``array<float>``, ``struct<a:int,b:string>``,
+    ``map<string,long>``, arbitrarily nested) parse structurally — the
+    capability the reference's JSON column type provides
+    (CopyColumnVisitor.scala:53-56: arbitrary nested msgpack values), so
+    embedding / feature-vector columns can land in a LakeTable sink. Pure
+    Python on purpose: schema handling must not require a live JVM."""
+    s = name.strip()
+    low = _PRIM_ALIAS.get(s.lower(), s.lower())
+    if low in _SPARK_TYPE:
+        return _SPARK_TYPE[low]
+    if low.startswith("array<") and s.endswith(">"):
+        return T.ArrayType(spark_type(s[6:-1]), True)
+    if low.startswith("map<") and s.endswith(">"):
+        kv = _split_top(s[4:-1])
+        if len(kv) != 2:
+            raise ValueError(f"unsupported lake type: {name!r}")
+        return T.MapType(spark_type(kv[0]), spark_type(kv[1]), True)
+    if low.startswith("struct<") and s.endswith(">"):
+        body = s[7:-1].strip()
+        fields = []
+        for part in _split_top(body) if body else []:
+            if ":" not in part:
+                raise ValueError(f"unsupported lake type: {name!r}")
+            fname, ftype = part.split(":", 1)
+            fields.append(
+                T.StructField(fname.strip().strip("`"), spark_type(ftype), True)
+            )
+        return T.StructType(fields)
+    raise ValueError(f"unsupported lake type: {name!r}")
 
 
 @dataclass(frozen=True)
@@ -77,9 +127,9 @@ class TableSchema:
         pairs = []
         for f in struct.fields:
             key = f.dataType.simpleString()
-            if key not in rev:
-                raise ValueError(f"unsupported type for lake table: {key}")
-            pairs.append((f.name, rev[key]))
+            # primitives map to engine names; complex types keep their
+            # simpleString form, which spark_type parses back via DDL
+            pairs.append((f.name, rev.get(key, key)))
         return cls.from_pairs(pairs)
 
     def to_json(self) -> dict:

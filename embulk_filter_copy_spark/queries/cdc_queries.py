@@ -372,8 +372,61 @@ FROM g
 """
 
 
+def cdc_replay_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay an ``array<float>`` column through the LakeTable merge path —
+    complex (non-primitive) sink columns are first-class: the table schema
+    holds the embedding vector, upserts carry it through the bucketed merge,
+    and deletes (every 5th key, issued at a later LSN) tombstone it. The
+    reference's JSON column type carries arbitrary nested values
+    (CopyColumnVisitor.scala:53-56); this is the engine's equivalent. The
+    result projects order-stable scalars of the array (dim + folded sum) so
+    the oracle hash is float-robust."""
+    from embulk_filter_copy_spark.cdc.replayer import replay_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    emb = t(spark, sf_dir, "embeddings")
+    env = lambda df, op, lsn: df.select(
+        lsn.alias("lsn"),
+        F.timestamp_micros(lsn).alias("ts"),
+        F.lit(op).alias("op"),
+        "vec_id", "label", "embedding",
+        F.lit(None).cast("string").alias("schema_change"),
+    )
+    upserts = env(emb, "U", F.col("vec_id") + 1)
+    deletes = env(emb.filter(F.col("vec_id") % 5 == 0), "D", F.col("vec_id") + 1_000_000)
+    ev = upserts.unionByName(deletes)
+    root = tempfile.mkdtemp(prefix="efc-replay-emb-")
+    table = LakeTable.create(
+        spark,
+        f"{root}/t",
+        [("vec_id", "long"), ("label", "int"), ("embedding", "array<float>")],
+        key_columns=["vec_id"],
+        n_buckets=8,
+    )
+    replay_batch(spark, ev, table, run_id="q-replay-emb", n_epochs=2)
+    return table.read().select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        reps(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("vec_sum"),
+    )
+
+
+CDC_REPLAY_EMB_SQL = """
+SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+       round(list_sum(embedding::DOUBLE[]) + 1e-9, 4) AS vec_sum
+FROM embeddings WHERE vec_id % 5 <> 0
+"""
+
+
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
+    "cdc_replay_embeddings": (cdc_replay_embeddings, CDC_REPLAY_EMB_SQL),
     "cdc_lww_latest": (cdc_lww_latest, CDC_LWW_SQL),
     "cdc_dedup_exact": (cdc_dedup_exact, CDC_DEDUP_SQL),
     "cdc_salted_agg": (cdc_salted_agg, CDC_SALTED_SQL),

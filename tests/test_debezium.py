@@ -162,3 +162,37 @@ def test_unknown_op_routes_to_dead_letter(spark, tmp_path):
     kept = read_debezium_jsonl(spark, p, REPO_FILES_SCHEMA, drop_malformed=False)
     assert kept.filter(F.col("_bad")).count() == 3   # junk + unknown-op + empty
     assert read_debezium_jsonl(spark, p, REPO_FILES_SCHEMA).count() == 4
+
+
+def test_kafka_shaped_stream_with_schema_change_topic(spark, tmp_path):
+    """The Kafka-value route end-to-end: Connect-converter payload framing
+    (payload_wrapper=True) + a schema-change-topic event (op='s') driven
+    through replay_stream — the DDL must apply BEFORE later data events and
+    the final rows must land in the evolved schema."""
+    import json as _json
+
+    from embulk_filter_copy_spark.cdc.replayer import replay_stream
+
+    recs = [
+        {"op": "c", "before": None, "after": _row("r1", "a.py", content="v1"),
+         "source": {"lsn": 1, "ts_ms": 1000}, "ts_ms": 1000, "schema_change": None},
+        # schema-change topic event: add a column mid-stream
+        {"op": "s", "before": None, "after": None,
+         "source": {"lsn": 2, "ts_ms": 2000}, "ts_ms": 2000,
+         "schema_change": _json.dumps({"action": "add", "column": "stars", "type": "int"})},
+        {"op": "u", "before": None, "after": _row("r1", "a.py", content="v2"),
+         "source": {"lsn": 3, "ts_ms": 3000}, "ts_ms": 3000, "schema_change": None},
+    ]
+    p = _write_jsonl(tmp_path, recs, wrap=True)
+    tbl_path = os.path.join(str(tmp_path), "tbl")
+    t = LakeTable.create(spark, tbl_path, REPO_FILES_SCHEMA,
+                         key_columns=["repo", "path"], n_buckets=2)
+    replay_stream(
+        spark, p, tbl_path, checkpoint=os.path.join(str(tmp_path), "ck"),
+        source_format="debezium-jsonl", payload_wrapper=True,
+    )
+    got = t.read().collect()
+    assert [f.name for f in t.schema.fields][-1] == "stars"
+    assert len(got) == 1 and got[0]["content"] == "v2"
+    assert got[0]["stars"] is None  # added column, no value yet
+    assert t.schema_lsn == 2
