@@ -40,13 +40,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_BASE_ROWS = int(os.environ.get("EFC_BENCH_BASE_ROWS", "100000"))
-BENCH_EVENTS = int(os.environ.get("EFC_BENCH_EVENTS", "1000000"))
+# 2M events/trial: fixed per-epoch cost (driver planning, manifest commit,
+# footer reads ~2-3 s) is <10% of the trial instead of ~25% at 1M, so the
+# headline measures steady-state per-event cost with less relative noise
+BENCH_EVENTS = int(os.environ.get("EFC_BENCH_EVENTS", "2000000"))
 SCALE_EVENTS = int(os.environ.get("EFC_SCALE_EVENTS", "6000000"))
 SCALE_BASE_ROWS = int(os.environ.get("EFC_SCALE_BASE_ROWS", "400000"))
 SCALE_LEVELS = tuple(
     int(x) for x in os.environ.get("EFC_SCALE_LEVELS", "2,8").split(",")
 )
 SCALE_TRIALS = int(os.environ.get("EFC_SCALE_TRIALS", "4"))
+HEADLINE_TRIALS = int(os.environ.get("EFC_HEADLINE_TRIALS", "4"))
 WARMUP_EVENTS = int(os.environ.get("EFC_WARMUP_EVENTS", "200000"))
 # tmpfs by default: the ext4 root disk's writeback storms add ±2x wall-clock
 # noise to otherwise-identical runs; storage is identical across levels either
@@ -271,13 +275,26 @@ def main() -> None:
     # replay measures that fixed cost instead of the engine (multi-epoch
     # latency is still covered by cdc_replay_events below and the test suite).
     headline_input = os.path.join(workroot, "headline-input")
+
+    def _median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        n = len(ys)
+        return ys[n // 2] if n % 2 else round((ys[n // 2 - 1] + ys[n // 2]) / 2, 1)
+
+    # K trials per mode; the emitted JSON carries BEST, MEDIAN and the raw
+    # trial list — a single lucky (or unlucky) host window is visible as
+    # spread instead of silently becoming "the number" (round-1 lesson: one
+    # driver trial in a bad window read 3.3x below the recorded baseline)
     replay, replay_mor = None, None
-    for trial in range(3):  # single-epoch trials are ~5 s; 3 samples vs host waves
+    replay_trials: list[float] = []
+    mor_trials: list[float] = []
+    for trial in range(HEADLINE_TRIALS):
         r = replay_throughput(
             spark, BENCH_BASE_ROWS, BENCH_EVENTS,
             os.path.join(workroot, f"replay-t{trial}"),
             n_buckets=2 * CPUS, n_epochs=1, input_dir=headline_input,
         )
+        replay_trials.append(r["events_per_sec"])
         if replay is None or r["events_per_sec"] > replay["events_per_sec"]:
             replay = r
         m = replay_throughput(
@@ -286,16 +303,24 @@ def main() -> None:
             n_buckets=2 * CPUS, n_epochs=1, merge_mode="mor", compact_after=True,
             input_dir=headline_input,
         )
+        mor_trials.append(m["events_per_sec"])
         if replay_mor is None or m["events_per_sec"] > replay_mor["events_per_sec"]:
             replay_mor = m
+    replay["trials_events_per_sec"] = replay_trials
+    replay["median_events_per_sec"] = _median(replay_trials)
+    replay_mor["trials_events_per_sec"] = mor_trials
+    replay_mor["median_events_per_sec"] = _median(mor_trials)
     fanout = None
+    fanout_trials: list[float] = []
     for trial in range(2):
         f = fanout_throughput(
             spark, BENCH_BASE_ROWS, BENCH_EVENTS,
             os.path.join(workroot, f"fanout-t{trial}"),
         )
+        fanout_trials.append(f["events_per_sec"])
         if fanout is None or f["events_per_sec"] > fanout["events_per_sec"]:
             fanout = f
+    fanout["trials_events_per_sec"] = fanout_trials
     queries = run_queries(spark)
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         # pre-generate the scaling input at full parallelism — the first
@@ -336,9 +361,11 @@ def main() -> None:
         }
 
     shutil.rmtree(workroot, ignore_errors=True)
+    best_mode = replay if replay["events_per_sec"] >= replay_mor["events_per_sec"] else replay_mor
     out = {
         "metric": "change-events/sec applied (CDC upsert replay, LWW dedup + bucketed merge)",
-        "value": max(replay["events_per_sec"], replay_mor["events_per_sec"]),
+        "value": best_mode["events_per_sec"],
+        "value_median": best_mode["median_events_per_sec"],
         "unit": "events/sec",
         "queries": queries,
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else SF_DIR,

@@ -233,6 +233,70 @@ def simhash_pairs(
     return pairs.distinct()
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Dedup-cluster assembly: candidate PAIRS → connected COMPONENTS
+    (every doc labeled with the min doc id reachable through near-dup
+    edges) — the step a real pipeline runs after LSH so "keep one doc per
+    cluster" is well-defined even when near-dup is not transitive.
+
+    Distributed min-label propagation: each round, every node takes the min
+    of its own label and its neighbors' labels (one equi-join + one
+    partial-aggregated groupBy per round); converges in O(component
+    diameter) rounds -- near-dup clusters are shallow (stars/cliques), so
+    2-4 rounds in practice. Convergence is detected by the monotone global
+    label sum (one cheap agg per round, no extra join). The driver loop
+    only orchestrates; all data movement is shuffles on node ids. Each
+    round's labels are ``localCheckpoint``-ed: iterative algorithms MUST
+    truncate lineage or the logical plan (and codegen) grows by a copy of
+    the upstream graph per round. On a real cluster use reliable
+    ``checkpoint`` to durable storage instead, so an executor loss cannot
+    drop a round; at 10^10+ edges swap in large-star/small-star."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("comp")
+    ).localCheckpoint()
+    prev_sum = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:  # labels monotone non-increasing -> fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias(node_col), "comp")
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.35,

@@ -59,7 +59,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_ctes() -> tuple[str, str]:
+    """(CTE list, final UNION select) — split so callers can splice the
+    pair graph into a larger flat WITH list (DuckDB resolves nested WITH
+    scopes poorly inside a recursive query)."""
     mins = ",\n       ".join(
         f"min({duck_phash('tok', f'mh{i}:')}) AS mh{i}" for i in range(8)
     )
@@ -76,12 +79,49 @@ def _minhash_pairs_sql() -> str:
             f"SELECT x.doc_id AS a, y.doc_id AS b FROM cb{b} x JOIN cb{b} y"
             f" ON x.{c0} = y.{c0} AND x.{c1} = y.{c1} AND x.doc_id < y.doc_id"
         )
-    return (
-        f"WITH {_TOK_CTE},\nsig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),\n"
+    ctes = (
+        f"{_TOK_CTE},\nsig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),\n"
         + ",\n".join(capped)
-        + "\n"
-        + "\nUNION\n".join(bands)
     )
+    return ctes, "\nUNION\n".join(bands)
+
+
+def _minhash_pairs_sql() -> str:
+    ctes, union = _minhash_pairs_ctes()
+    return f"WITH {ctes}\n{union}"
+
+
+# ------------------------------------------------------------- components
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs → dedup clusters: connected components over the minhash
+    candidate graph, every doc labeled with its cluster's min doc id. The
+    DuckDB oracle walks the same graph with a recursive CTE — an exact
+    independent replay of the iterative distributed propagation."""
+    docs = t(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=8)
+    pairs = D.minhash_candidate_pairs(
+        sig, bands=4, rows_per_band=2, max_bucket_size=_MINHASH_CAP
+    )
+    return D.connected_components(pairs, docs.select("doc_id"))
+
+
+def _components_sql() -> str:
+    ctes, union = _minhash_pairs_ctes()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({union}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS comp FROM reach GROUP BY node
+"""
 
 
 # ------------------------------------------------------------- jaccard
@@ -449,6 +489,7 @@ QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, _minhash_sig_sql(8)),
     "dedup_minhash_pairs": (dedup_minhash_pairs, _minhash_pairs_sql()),
+    "dedup_components": (dedup_components, _components_sql()),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, DEDUP_JACCARD_SQL),
     "dedup_jaccard3_pairs": (dedup_jaccard3_pairs, DEDUP_JACCARD3_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_SQL),

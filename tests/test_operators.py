@@ -237,3 +237,19 @@ def test_jaccard_max_doc_freq_bounds_fanout(spark):
     assert uncapped.count() == 30 * 29 // 2
     # with the hot shingle cut, no shared shingles remain at all
     assert capped.count() == 0
+
+
+def test_connected_components_clusters(spark):
+    """Chain 1-2-3, pair 5-6, isolates 4/7: min-label propagation must walk
+    the chain (transitivity the pair list alone doesn't give you)."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    got = {r["doc_id"]: r["comp"] for r in D.connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_no_edges(spark):
+    nodes = spark.createDataFrame([(3,), (9,)], "doc_id long")
+    empty = spark.createDataFrame([], "a long, b long")
+    got = {r["doc_id"]: r["comp"] for r in D.connected_components(empty, nodes).collect()}
+    assert got == {3: 3, 9: 9}
