@@ -205,32 +205,48 @@ def simhash_pairs(
     assert bits % bands == 0
     width = bits // bands
     sh = simhash16(df, id_col, text_col)
-    pairs = None
-    for i in range(bands):
-        band = sh.withColumn(
-            "_band", F.expr(f"(simhash >> {i * width}) & {2 ** width - 1}")
-        )
-        if max_bucket_size is not None:
-            band = (
-                band.withColumn(
-                    "_bs", F.count(F.lit(1)).over(Window.partitionBy("_band"))
-                )
-                .filter(F.col("_bs") <= max_bucket_size)
-                .drop("_bs")
+    # ONE exploded self-join on (band index, band value) instead of one join
+    # per band: the explode multiplies rows by `bands` (tiny rows: id +
+    # simhash + band key) but computes the simhash aggregation once per join
+    # side instead of once per band per side -- the per-band-join variant
+    # re-ran the token-explode aggregation 2*bands times
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_band_idx"),
+                F.expr(f"(simhash >> {i * width}) & {2 ** width - 1}").alias("_band_val"),
             )
-        a = band.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "_band")
-        b = band.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "_band")
-        j = (
-            a.join(b, "_band")
-            .filter(F.col("a") < F.col("b"))
-            # verify INSIDE the band join so the union/distinct only carries
-            # true near-dups, not every band collision
-            .withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as int)"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming")
+            for i in range(bands)
+        ]
+    )
+    e = sh.select(id_col, "simhash", F.explode(band_structs).alias("_bd")).select(
+        id_col, "simhash", "_bd._band_idx", "_bd._band_val"
+    )
+    if max_bucket_size is not None:
+        e = (
+            e.withColumn(
+                "_bs",
+                F.count(F.lit(1)).over(Window.partitionBy("_band_idx", "_band_val")),
+            )
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
         )
-        pairs = j if pairs is None else pairs.unionByName(j)
-    return pairs.distinct()
+    # materialize the (small: id + simhash + band key) band table once so the
+    # self-join's two sides share ONE run of the token-explode aggregation
+    # instead of recomputing it per side
+    e = e.localCheckpoint()
+    a = e.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "_band_idx", "_band_val")
+    b = e.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "_band_idx", "_band_val")
+    return (
+        a.join(b, ["_band_idx", "_band_val"])
+        .filter(F.col("a") < F.col("b"))
+        # verify INSIDE the band join so the distinct only carries true
+        # near-dups, not every band collision
+        .withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )
 
 
 def connected_components(

@@ -176,12 +176,20 @@ SELECT a, b, jaccard FROM (
 
 
 # ------------------------------------------------------------- simhash
+_SIMHASH_CAP = 64  # max docs per bit-band bucket (see simhash_pairs)
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bit-band LSH pairs (4 bands x 4 bits). bands > max_hamming makes the
-    banding lossless, so the all-pairs oracle below is EXACTLY the banded
-    result — the oracle verifies the plan found every pair without itself
-    replaying the banding."""
-    return D.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=2, bands=4)
+    """Bit-band LSH pairs (4 bands x 4 bits) with the band-bucket cap. A
+    16-bit simhash over this tiny-vocab corpus collides massively, so the
+    TRUE hamming<=2 pair set is O(n²) — any "correct" uncapped operator
+    must materialize it. The cap drops degenerate band buckets (same guard
+    as minhash), bounding output at the cost of recall inside capped
+    buckets; the oracle replays the banding + cap exactly."""
+    return D.simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        max_hamming=2, bands=4, max_bucket_size=_SIMHASH_CAP,
+    )
 
 
 DEDUP_SIMHASH_SQL = f"""
@@ -194,11 +202,20 @@ votes AS (
 sh AS (
   SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
+),
+e AS (
+  SELECT doc_id, simhash, bi, (simhash >> (bi * 4)) & 15 AS bv
+  FROM sh, range(4) t(bi)
+),
+ec AS (
+  SELECT doc_id, simhash, bi, bv FROM (
+    SELECT *, count(*) OVER (PARTITION BY bi, bv) AS bs FROM e
+  ) WHERE bs <= {_SIMHASH_CAP}
 )
-SELECT a, b, hamming FROM (
+SELECT DISTINCT a, b, hamming FROM (
   SELECT x.doc_id AS a, y.doc_id AS b,
          CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  FROM ec x JOIN ec y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id
 ) WHERE hamming <= 2
 """
 

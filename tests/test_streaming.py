@@ -163,3 +163,63 @@ def test_all_late_batch_quarantined_via_high_water_mark(spark, tmpdir_path):
     r1 = apply_batch(t, late, run_id="hwm", epoch=1, quarantine=(qpath, 600))
     assert r1["quarantined"] == late.count()
     assert r1["rows_applied"] == 0
+
+
+def test_partial_sink_failure_resumes_only_missing_sink(spark, tmpdir_path):
+    """Concurrent fan-out + per-sink manifests: if one sink's merge job
+    fails after a sibling committed, the restart must skip the committed
+    sink and apply only the missing one (the reference's committed-task
+    skip, ReuseInputExecutorPlugin.scala:61-64, distributed)."""
+    import pytest
+
+    from embulk_filter_copy_spark.cdc.splitter import SinkSpec, register_transform
+    from embulk_filter_copy_spark.fixtures import replay_oracle
+
+    flag = os.path.join(tmpdir_path, "boom-flag")
+    open(flag, "w").close()
+
+    @register_transform("boom_if_flag")
+    def _boom(df):
+        def op(it):
+            for pdf in it:
+                if os.path.exists(flag):
+                    raise RuntimeError("injected sink failure")
+                yield pdf
+        return df.mapInPandas(op, schema=df.schema)
+
+    base = gen_repo_files(spark, 80, seed=31)
+    ev = gen_change_events(spark, 80, 300, seed=31)
+    log = os.path.join(tmpdir_path, "log")
+    ev.coalesce(1).write.parquet(log)
+
+    tables = {}
+    sinks = []
+    for name, tr in (("good", ()), ("bad", (("pandas", "boom_if_flag"),))):
+        pth = os.path.join(tmpdir_path, name)
+        t = LakeTable.create(spark, pth, REPO_FILES_SCHEMA,
+                             key_columns=["repo", "path"], n_buckets=4)
+        t.append(base.withColumn("_lsn", F.lit(0)))
+        tables[name] = t
+        sinks.append(SinkSpec(name=name, path=pth, transforms=tr))
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    with pytest.raises(Exception):  # bad sink's merge job raises
+        replay_stream(spark, log, sinks, checkpoint=ckpt)
+    good, bad = tables["good"], tables["bad"]
+    v_good = good.current_version()
+    assert v_good > 2      # good sink committed its merge before the epoch failed
+    assert bad.current_version() == 2  # bootstrap only — merge never committed
+
+    os.remove(flag)  # "fix" the sink, restart from the same checkpoint
+    results = replay_stream(spark, log, sinks, checkpoint=ckpt)
+    # epoch 0 is redelivered on restart (availableNow may add an empty tail
+    # epoch afterwards — ignore it)
+    by_sink = {r["sink"]: r for r in results if r["epoch"] == 0}
+    assert by_sink["good"].get("skipped") is True   # manifest skip, no rework
+    assert by_sink["bad"].get("skipped") is not True
+    assert good.current_version() == v_good          # untouched on resume
+    golden = replay_oracle(base.toPandas(), ev.toPandas())
+    for t in (good, bad):
+        got = t.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert len(got) == len(golden)
+        assert got[["repo", "path", "content"]].equals(
+            golden[["repo", "path", "content"]].reset_index(drop=True))
