@@ -65,6 +65,7 @@ def cmd_replay(args) -> None:
         quarantine=(args.quarantine, args.quarantine_delta) if args.quarantine else None,
         merge_mode=args.merge_mode,
         source_format=args.format,
+        payload_wrapper=args.payload_wrapper,
     )
     print(json.dumps({"epochs": len(results), "rows_applied": sum(r.get("rows_applied", 0) for r in results)}))
 
@@ -123,6 +124,8 @@ def main(argv: list[str] | None = None) -> None:
 
     r = sub.add_parser("replay", help="stream-replay a WAL directory into sinks")
     r.add_argument("--events", required=True)
+    r.add_argument("--payload-wrapper", action="store_true",
+                   help="Debezium records use the Connect converter's {schema, payload} framing")
     r.add_argument("--format", choices=["parquet", "debezium-jsonl"], default="parquet",
                    help="WAL encoding: parquet event rows or Debezium JSON envelopes")
     r.add_argument("--sink", action="append", default=[], help="sink table path (repeatable)")
