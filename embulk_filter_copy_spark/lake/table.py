@@ -317,7 +317,19 @@ class LakeTable:
         cur_snap = self.snapshot_at(cur_version)
         old = self.snapshot_at(since_version)
         old_paths = {f["path"] for f in old["files"]}
-        added = [f for f in cur_snap["files"] if f["path"] not in old_paths]
+        wm_prune = self.high_lsn(since_version)
+        # manifest-level data skipping: a file added since the old snapshot
+        # whose footer-derived lsn_max is at or below the old watermark can
+        # only contain re-added rows (copy-on-write rewrites, compactions) —
+        # skip it entirely instead of scanning and filtering. Files with
+        # unknown stats stay in (safe), the row-level _lsn filter below is
+        # still the correctness gate either way.
+        added = [
+            f
+            for f in cur_snap["files"]
+            if f["path"] not in old_paths
+            and (f.get("lsn_max") is None or f["lsn_max"] > wm_prune)
+        ]
         # a tombstone-purging compaction between the snapshots has DROPPED
         # delete markers this feed would otherwise emit as 'D' events —
         # surfacing silently-lossy feeds as an error beats returning one
@@ -336,7 +348,7 @@ class LakeTable:
                 "only after every change-feed consumer has passed the "
                 "tombstone LSNs."
             )
-        wm = self.high_lsn(since_version)
+        wm = wm_prune
         if not added:
             base = self._empty_df(include_meta=True)
         else:
@@ -397,12 +409,36 @@ class LakeTable:
         staged.write.mode("errorifexists").partitionBy("_bucket").parquet(out_dir)
         sv = self.snapshot()["schema_version"]
         paths = sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet")))
+
+        def footer_stats(p: str) -> tuple[int, int | None, int | None]:
+            """(rows, lsn_min, lsn_max) from the parquet footer — zero extra
+            jobs: the row-group column statistics already carry min/max for
+            ``_lsn``, giving the manifest Iceberg-style per-file value
+            ranges (the data-skipping primitive ``read_changes`` prunes
+            with)."""
+            md = pq.ParquetFile(p).metadata
+            lsn_idx = next(
+                (i for i in range(md.num_columns)
+                 if md.schema.column(i).name == "_lsn"),
+                None,
+            )
+            lo = hi = None
+            if lsn_idx is not None:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(lsn_idx).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            return md.num_rows, lo, hi
+
         # footer reads are per-file driver I/O — overlap them (64+ buckets
         # per commit would otherwise serialize into ~1s of epoch latency)
         with ThreadPoolExecutor(max_workers=min(16, max(len(paths), 1))) as ex:
-            row_counts = list(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths))
+            stats = list(ex.map(footer_stats, paths))
         entries = []
-        for p, rows in zip(paths, row_counts):
+        for p, (rows, lsn_lo, lsn_hi) in zip(paths, stats):
             bucket = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
             if rows == 0:
                 continue
@@ -411,6 +447,8 @@ class LakeTable:
                 "bucket": bucket,
                 "rows": rows,
                 "schema_version": sv,
+                "lsn_min": lsn_lo,
+                "lsn_max": lsn_hi,
             }
             if kind != "base":
                 entry["kind"] = kind

@@ -161,3 +161,46 @@ def test_read_changes_raises_after_tombstone_purge(spark, tmpdir_path):
         t.read_changes(since_version=v0)
     # non-purging compaction keeps the feed readable (existing guarantee)
     assert t.read_changes(since_version=t.current_version()).count() == 0
+
+
+def test_manifest_lsn_stats_prune_compaction_rewrites(spark, tmpdir_path):
+    """File manifests carry footer-derived _lsn min/max; read_changes skips
+    compaction-rewritten files whose lsn_max is under the watermark WITHOUT
+    scanning them (manifest-level data skipping, the Iceberg stats analogue)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "stats"),
+        [("k", "long"), ("v", "string")], key_columns=["k"], n_buckets=2,
+    )
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        .withColumn("_lsn", F.xxhash64("k") % 5 + 10),
+        commit={"run_id": "r", "epoch": 0, "seq": -1, "lsn_min": 6, "lsn_max": 14},
+    )
+    ent = t.files()
+    assert all(e["lsn_min"] is not None and e["lsn_max"] >= e["lsn_min"] for e in ent)
+    v_applied = t.current_version()
+
+    # fragment then compact (no purge): re-added files carry old lsn ranges
+    t.append(
+        spark.createDataFrame([(3, "c")], "k long, v string").withColumn("_lsn", F.lit(20)),
+        commit={"run_id": "r", "epoch": 1, "seq": -1, "lsn_min": 20, "lsn_max": 20},
+    )
+    v_before_compact = t.current_version()
+    t.compact()
+    # nothing committed since v_before_compact except the rewrite → zero
+    # candidate files → the feed plans an EMPTY relation, no parquet scan
+    feed = t.read_changes(since_version=v_before_compact)
+    assert feed.count() == 0
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        feed.explain()
+    assert "FileScan" not in buf.getvalue()
+    # and the feed from before the second append is still exact
+    rows = {r["k"]: r["op"] for r in t.read_changes(since_version=v_applied).collect()}
+    assert rows == {3: "U"}
