@@ -99,6 +99,14 @@ def cmd_changes(args) -> None:
         feed.show(args.limit, truncate=False)
 
 
+def cmd_expire(args) -> None:
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+
+
 def cmd_compact(args) -> None:
     from embulk_filter_copy_spark.lake.table import LakeTable
 
@@ -147,6 +155,11 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--table", required=True)
     c.add_argument("--purge-tombstones", action="store_true")
     c.add_argument("--max-files-per-bucket", type=int, default=1)
+
+    e = sub.add_parser("expire", help="expire old snapshots and delete orphaned data files")
+    e.set_defaults(func=cmd_expire)
+    e.add_argument("--table", required=True)
+    e.add_argument("--keep-last", type=int, default=10)
 
     ch = sub.add_parser("changes", help="emit the net change feed since a snapshot version")
     ch.add_argument("--table", required=True)

@@ -594,6 +594,52 @@ class LakeTable:
             "rows": res["rows"],
         }
 
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Iceberg-maintenance analogue of ``expire_snapshots`` + orphan
+        file GC: drop snapshot metadata older than the newest ``keep_last``
+        versions and delete data files referenced ONLY by expired snapshots
+        (copy-on-write rewrites and compactions strand the files they
+        replaced — without expiration the table's storage grows with write
+        history, not data size).
+
+        Time travel (``read(version=...)``) and incremental reads
+        (``read_changes(since_version=...)``) below the horizon raise
+        FileNotFoundError afterwards — run expiration only once every
+        consumer's resume point has passed the horizon, same contract as
+        tombstone purging. Commit manifests are unaffected (each snapshot
+        carries the full append-only commit list, so exactly-once resume
+        never needs expired snapshots)."""
+        cur = self.current_version()
+        horizon = cur - keep_last + 1  # keep [horizon .. cur]
+        if horizon <= 1:
+            return {"snapshots_expired": 0, "files_deleted": 0}
+        kept_refs: set[str] = set()
+        for v in range(horizon, cur + 1):
+            kept_refs |= {f["path"] for f in self.snapshot_at(v)["files"]}
+        expired_versions = []
+        orphan_refs: set[str] = set()
+        for v in range(1, horizon):
+            snap_path = os.path.join(self._meta_dir, f"v{v:08d}.json")
+            if not os.path.exists(snap_path):
+                continue  # already expired by an earlier run (idempotent)
+            expired_versions.append(v)
+            orphan_refs |= {
+                f["path"] for f in self.snapshot_at(v)["files"]
+            } - kept_refs
+        deleted = 0
+        for rel in sorted(orphan_refs):
+            p = os.path.join(self.path, rel)
+            if os.path.exists(p):
+                os.remove(p)
+                deleted += 1
+        for v in expired_versions:
+            os.remove(os.path.join(self._meta_dir, f"v{v:08d}.json"))
+        return {
+            "snapshots_expired": len(expired_versions),
+            "files_deleted": deleted,
+            "horizon": horizon,
+        }
+
     # ------------------------------------------------------------------
     # stats
     # ------------------------------------------------------------------

@@ -104,3 +104,45 @@ def test_cli_sink_spec_tree(spark, tmpdir_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows_applied"] > 0
     assert LakeTable.load(spark, p2).read().count() == LakeTable.load(spark, p1).read().count()
+
+
+def test_expire_snapshots_gc(spark, tmpdir_path):
+    """Copy-on-write rewrites strand replaced files in old snapshots;
+    expire_snapshots must delete exactly the files no kept snapshot
+    references, keep the current state readable, and make time travel
+    below the horizon raise."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from embulk_filter_copy_spark.cdc.apply import apply_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gc"),
+        [("k", "long"), ("v", "string")], key_columns=["k"], n_buckets=2,
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+             .withColumn("_lsn", F.lit(1)))
+    for i in range(4):  # repeated upserts → repeated bucket rewrites
+        ev = spark.createDataFrame(
+            [(10 + i, "U", 1, f"v{i}")], "lsn long, op string, k long, v string"
+        ).withColumn("ts", F.timestamp_micros("lsn"))
+        apply_batch(t, ev, run_id="gc", epoch=i)
+    files_before = len(glob.glob(os.path.join(tmpdir_path, "gc", "data", "*", "*", "*.parquet")))
+    live_refs = {f["path"] for f in t.files()}
+    res = t.expire_snapshots(keep_last=2)
+    assert res["snapshots_expired"] > 0 and res["files_deleted"] > 0
+    on_disk = {os.path.relpath(p, t.path) for p in
+               glob.glob(os.path.join(tmpdir_path, "gc", "data", "*", "*", "*.parquet"))}
+    assert live_refs <= on_disk            # everything referenced survives
+    assert len(on_disk) < files_before     # orphans actually deleted
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "v3", 2: "b"}        # current state intact
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)                  # below horizon: gone
+    # idempotent re-run
+    res2 = t.expire_snapshots(keep_last=2)
+    assert res2["snapshots_expired"] == 0 and res2["files_deleted"] == 0
