@@ -202,6 +202,7 @@ def apply_batch(
     quarantine: tuple[str, int] | None = None,
     merge_mode: str = "cow",
     exact_applied: bool = True,
+    quarantine_lock=None,
 ) -> dict:
     """Apply one microbatch epoch to `table`, exactly once.
 
@@ -365,7 +366,14 @@ def apply_batch(
             try:
                 quarantined = late.count()
                 if quarantined:
-                    late.write.mode("append").parquet(qpath)
+                    # concurrent fan-out sinks share one quarantine path;
+                    # overlapping Spark append jobs on the same directory
+                    # fight over _temporary/ (one job's commit deletes the
+                    # other's in-flight task files) — serialize the append
+                    import contextlib
+
+                    with quarantine_lock or contextlib.nullcontext():
+                        late.write.mode("append").parquet(qpath)
                     data = data.filter(F.col("ts").cast("double") >= F.lit(threshold))
             finally:
                 late.unpersist()
@@ -437,7 +445,12 @@ def apply_batch(
         finally:
             deduped.unpersist()
 
-    if not single_merge and not table.has_commit(run_id, epoch, EPOCH_DONE_SEQ):
+    # the epoch-done marker must exist even when every unit contributed 0
+    # rows (e.g. a fully-quarantined all-late batch, now possible with the
+    # HWM threshold): without it, an at-least-once redelivery of the epoch
+    # would re-append the same late rows to the quarantine path. For a
+    # non-empty single merge the merge's own commit already carried seq=-1.
+    if not table.has_commit(run_id, epoch, EPOCH_DONE_SEQ):
         table.add_commit(
             {
                 "run_id": run_id,

@@ -73,6 +73,10 @@ class FanoutApplier:
         self.max_sink_threads = max_sink_threads
         self.results: list[dict] = []
         self._keys_match: bool | None = None
+        # sinks share one quarantine path; their appends must not overlap
+        import threading
+
+        self._quarantine_lock = threading.Lock() if quarantine else None
 
     # transform kinds that never add/drop/reorder ROWS — for these, LWW dedup
     # commutes with the per-sink chain, so the fan-out dedups ONCE and shares
@@ -130,6 +134,7 @@ class FanoutApplier:
                 quarantine=self.quarantine,
                 merge_mode=self.merge_mode,
                 exact_applied=False,  # Observation.get deadlocks in foreachBatch
+                quarantine_lock=self._quarantine_lock,
             )
             res["sink"] = leaf.name
             return res

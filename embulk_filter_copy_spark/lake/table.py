@@ -348,9 +348,15 @@ class LakeTable:
                 "only after every change-feed consumer has passed the "
                 "tombstone LSNs."
             )
+        # columns from the PINNED snapshot everywhere (including the empty
+        # branch — self.schema would re-read CURRENT and could race a
+        # concurrent schema-evolving commit)
+        pinned_schema = TableSchema.from_json(
+            cur_snap["schemas"][str(cur_snap["schema_version"])]
+        )
         wm = wm_prune
         if not added:
-            base = self._empty_df(include_meta=True)
+            base = self._empty_df(include_meta=True, schema=pinned_schema)
         else:
             # reuse the snapshot scanner on just the added files: cheapest
             # correct path is a full read restricted to the added files'
@@ -360,11 +366,6 @@ class LakeTable:
             base = self.read(include_meta=True, buckets=bset, version=cur_version)
         changed = base.filter(F.col("_lsn") > F.lit(wm))
         op = F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("D")).otherwise(F.lit("U"))
-        # columns from the PINNED snapshot's schema — self.schema would
-        # re-read CURRENT and could see a newer schema than the pinned scan
-        pinned_schema = TableSchema.from_json(
-            cur_snap["schemas"][str(cur_snap["schema_version"])]
-        )
         cols = [f.name for f in pinned_schema.fields]
         return changed.select(
             F.col("_lsn").alias("lsn"),
@@ -609,6 +610,10 @@ class LakeTable:
         tombstone purging. Commit manifests are unaffected (each snapshot
         carries the full append-only commit list, so exactly-once resume
         never needs expired snapshots)."""
+        if keep_last < 1:
+            # keep_last=0 would place the horizon past CURRENT and delete
+            # the live snapshot + every data file — refuse, don't truncate
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         cur = self.current_version()
         horizon = cur - keep_last + 1  # keep [horizon .. cur]
         if horizon <= 1:

@@ -288,6 +288,7 @@ def connected_components(
     prev_sum = labels.agg(
         F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -308,8 +309,16 @@ def connected_components(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         if cur_sum == prev_sum:  # labels monotone non-increasing -> fixpoint
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a component whose diameter exceeds max_iters would silently get
+        # WRONG (partial) labels — surface it instead of returning them
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels.select(F.col("node").alias(node_col), "comp")
 
 

@@ -26,6 +26,15 @@ def dot_expr(a: str, b: str) -> F.Column:
     )
 
 
+def _dot_cols(a: F.Column, b: F.Column) -> F.Column:
+    """Column-object variant of :func:`dot_expr` (for literal vectors)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def norm_expr(a: str) -> F.Column:
     return F.sqrt(dot_expr(a, a))
 
@@ -79,23 +88,30 @@ def ivf_centroids(
 
 def assign_cells(df: DataFrame, cents: DataFrame, n_cells: int, vc: str) -> DataFrame:
     """Assign every row to its max-cosine centroid cell (ties → lowest cell
-    id). Centroids are broadcast (tiny); cell-to-centroid cosines are
-    rounded to 6dp before the argmax so the assignment is reproducible
-    across engines."""
-    out = df
-    for i in range(n_cells):
-        c = cents.filter(F.col("cent_id") == F.lit(i)).select(
-            F.col("cent_v").alias(f"ct{i}")
+    id). The centroid set is tiny by construction (the coarse quantizer),
+    so it is collected once and inlined as literal vectors — no joins at
+    all in the assignment, and a corpus SMALLER than ``n_cells`` simply
+    yields fewer cells instead of an empty-filter crossJoin silently
+    zeroing the frame. Cell-to-centroid cosines are rounded to 6dp before
+    the argmax so the assignment is reproducible across engines."""
+    rows = sorted(cents.collect(), key=lambda r: r["cent_id"])[:n_cells]
+    if not rows:
+        return df.withColumn("cell", F.lit(-1).cast("int"))
+    cos = []
+    for r in rows:
+        ct = F.array(*[F.lit(float(x)) for x in r["cent_v"]])
+        cos.append(
+            F.round(
+                _dot_cols(F.col(vc), ct)
+                / (F.sqrt(_dot_cols(F.col(vc), F.col(vc))) * F.sqrt(_dot_cols(ct, ct))),
+                6,
+            )
         )
-        out = out.crossJoin(F.broadcast(c))
-    cos = [F.round(cosine_expr(vc, f"ct{i}"), 6) for i in range(n_cells)]
-    best = F.greatest(*cos)
+    best = F.greatest(*cos) if len(cos) > 1 else cos[0]
     cell = F.lit(-1)
-    for i in reversed(range(n_cells)):  # outermost when = cell 0 → lowest wins ties
+    for i in reversed(range(len(cos))):  # outermost when = cell 0 → lowest wins ties
         cell = F.when(cos[i] == best, F.lit(i)).otherwise(cell)
-    return out.withColumn("cell", cell.cast("int")).drop(
-        *[f"ct{i}" for i in range(n_cells)]
-    )
+    return df.withColumn("cell", cell.cast("int"))
 
 
 def ann_ivf_topk(

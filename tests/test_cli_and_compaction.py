@@ -146,3 +146,19 @@ def test_expire_snapshots_gc(spark, tmpdir_path):
     # idempotent re-run
     res2 = t.expire_snapshots(keep_last=2)
     assert res2["snapshots_expired"] == 0 and res2["files_deleted"] == 0
+
+
+def test_expire_rejects_nonpositive_keep_last(spark, tmpdir_path):
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "kl"),
+                         [("k", "long")], key_columns=["k"], n_buckets=1)
+    t.append(spark.createDataFrame([(1,)], "k long").withColumn("_lsn", F.lit(1)))
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
+    assert t.read().count() == 1  # nothing was deleted

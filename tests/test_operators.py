@@ -253,3 +253,28 @@ def test_connected_components_no_edges(spark):
     empty = spark.createDataFrame([], "a long, b long")
     got = {r["doc_id"]: r["comp"] for r in D.connected_components(empty, nodes).collect()}
     assert got == {3: 3, 9: 9}
+
+
+def test_assign_cells_corpus_smaller_than_n_cells(spark):
+    """A corpus with fewer vectors than n_cells must still produce pairs —
+    the old filter-per-centroid crossJoin silently zeroed the frame."""
+    # exact duplicates: both are centroids of their own, but the max-cosine
+    # tie breaks to the lowest cell id, so they land together
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a"], r["b"]) for r in
+             D.embedding_near_dup_pairs(emb, threshold=0.9, n_cells=4).collect()}
+    assert (0, 1) in pairs
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain longer than max_iters hops must raise, not return partial
+    labels the oracle would disagree with."""
+    chain = [(i, i + 1) for i in range(1, 30)]
+    pairs = spark.createDataFrame(chain, "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 31)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, nodes, max_iters=3)
+    got = {r["doc_id"]: r["comp"]
+           for r in D.connected_components(pairs, nodes, max_iters=40).collect()}
+    assert set(got.values()) == {1}

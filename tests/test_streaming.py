@@ -223,3 +223,24 @@ def test_partial_sink_failure_resumes_only_missing_sink(spark, tmpdir_path):
         assert len(got) == len(golden)
         assert got[["repo", "path", "content"]].equals(
             golden[["repo", "path", "content"]].reset_index(drop=True))
+
+
+def test_all_late_epoch_gated_on_redelivery(spark, tmpdir_path):
+    """A fully-quarantined epoch must still write its epoch-done manifest:
+    an at-least-once redelivery would otherwise re-append the same late
+    rows to the quarantine path."""
+    from embulk_filter_copy_spark.cdc.apply import apply_batch
+
+    t, base = _bootstrap(spark, tmpdir_path, n_base=40, seed=11)
+    ev = gen_change_events(spark, 40, 150, seed=11)
+    qpath = os.path.join(tmpdir_path, "q")
+    apply_batch(t, ev, run_id="late", epoch=0, quarantine=(qpath, 600))
+    late = ev.withColumn("ts", F.col("ts") - F.expr("INTERVAL 3 HOURS")).withColumn(
+        "lsn", F.col("lsn") + F.lit(10_000_000))
+    r1 = apply_batch(t, late, run_id="late", epoch=1, quarantine=(qpath, 600))
+    assert r1["quarantined"] == late.count()
+    n_quarantined = spark.read.parquet(qpath).count()
+    # redeliver the same epoch: manifest skip, quarantine unchanged
+    r2 = apply_batch(t, late, run_id="late", epoch=1, quarantine=(qpath, 600))
+    assert r2.get("skipped") is True
+    assert spark.read.parquet(qpath).count() == n_quarantined
