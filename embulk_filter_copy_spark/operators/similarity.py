@@ -114,28 +114,67 @@ def assign_cells(df: DataFrame, cents: DataFrame, n_cells: int, vc: str) -> Data
     return df.withColumn("cell", cell.cast("int"))
 
 
+def assign_cells_topk(
+    df: DataFrame, cents: DataFrame, n_cells: int, vc: str, nprobe: int
+) -> DataFrame:
+    """Multi-probe cell assignment: one output row per (input row, probed
+    cell), probing the ``nprobe`` max-cosine cells. Tie-break matches
+    :func:`assign_cells` (lowest cell id first), so ``nprobe=1`` reproduces
+    the single-cell assignment exactly."""
+    rows = sorted(cents.collect(), key=lambda r: r["cent_id"])[:n_cells]
+    if not rows:
+        return df.withColumn("cell", F.lit(-1).cast("int"))
+    cos = []
+    for r in rows:
+        ct = F.array(*[F.lit(float(x)) for x in r["cent_v"]])
+        cos.append(
+            F.round(
+                _dot_cols(F.col(vc), ct)
+                / (F.sqrt(_dot_cols(F.col(vc), F.col(vc))) * F.sqrt(_dot_cols(ct, ct))),
+                6,
+            )
+        )
+    # sort (neg cosine, cell id) ascending = cosine desc, lowest cell on tie
+    pairs = F.array(
+        *[
+            F.struct((-cos[i]).alias("neg"), F.lit(i).alias("cell"))
+            for i in range(len(cos))
+        ]
+    )
+    probed = F.transform(
+        F.slice(F.array_sort(pairs), 1, min(nprobe, len(cos))),
+        lambda s: s["cell"],
+    )
+    return df.withColumn("cell", F.explode(probed)).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     n_cells: int = 4,
     k: int = 5,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-style ANN (coarse quantizer + inverted lists): deterministic
     centroids (:func:`ivf_centroids`), every vector assigned to its
     max-cosine cell (:func:`assign_cells`), candidates restricted to the
-    query's cell (nprobe=1). At scale the corpus is hash-partitioned by
-    ``cell`` so each inverted list is co-located and the probe is a
-    broadcast-per-cell join instead of a full scan."""
+    query's ``nprobe`` best cells — the standard recall/cost lever (each
+    probed cell adds one inverted list's worth of candidates). At scale the
+    corpus is hash-partitioned by ``cell`` so each inverted list is
+    co-located and the probe is a broadcast-per-cell join instead of a full
+    scan."""
     cents = ivf_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
     c = assign_cells(
         emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         cents, n_cells, "cv",
     )
-    q = assign_cells(
+    q = assign_cells_topk(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        cents, n_cells, "qv",
+        cents, n_cells, "qv", nprobe,
     )
     scored = (
         c.join(F.broadcast(q), "cell")

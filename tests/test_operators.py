@@ -278,3 +278,20 @@ def test_connected_components_raises_when_unconverged(spark):
     got = {r["doc_id"]: r["comp"]
            for r in D.connected_components(pairs, nodes, max_iters=40).collect()}
     assert set(got.values()) == {1}
+
+
+def test_ivf_nprobe_recovers_cross_cell_neighbor(spark):
+    """nprobe is the IVF recall lever: a neighbor in the query's
+    second-best cell is invisible at nprobe=1 and found at nprobe=2."""
+    rows = [
+        (0, [1.0, 0.0]),   # centroid/cell 0
+        (1, [0.0, 1.0]),   # centroid/cell 1
+        (2, [0.6, 0.8]),   # lands in cell 1
+        (3, [0.9, 0.1]),   # lands in cell 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 3")
+    n1 = {r["neighbor_id"] for r in S.ann_ivf_topk(emb, q, n_cells=2, k=4, nprobe=1).collect()}
+    n2 = {r["neighbor_id"] for r in S.ann_ivf_topk(emb, q, n_cells=2, k=4, nprobe=2).collect()}
+    assert 2 not in n1 and 0 in n1
+    assert 2 in n2 and n1 < n2
