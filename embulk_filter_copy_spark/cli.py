@@ -99,6 +99,14 @@ def cmd_changes(args) -> None:
         feed.show(args.limit, truncate=False)
 
 
+def cmd_rescale(args) -> None:
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    print(json.dumps(t.rescale_buckets(args.buckets)))
+
+
 def cmd_expire(args) -> None:
     from embulk_filter_copy_spark.lake.table import LakeTable
 
@@ -156,6 +164,11 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--purge-tombstones", action="store_true")
     c.add_argument("--max-files-per-bucket", type=int, default=1)
 
+    rs = sub.add_parser("rescale", help="rewrite the table under a new bucket count")
+    rs.set_defaults(func=cmd_rescale)
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--buckets", type=int, required=True)
+
     e = sub.add_parser("expire", help="expire old snapshots and delete orphaned data files")
     e.set_defaults(func=cmd_expire)
     e.add_argument("--table", required=True)
@@ -172,6 +185,8 @@ def main(argv: list[str] | None = None) -> None:
         "bootstrap": cmd_bootstrap,
         "replay": cmd_replay,
         "compact": cmd_compact,
+        "rescale": cmd_rescale,
+        "expire": cmd_expire,
         "changes": cmd_changes,
     }[args.cmd](args)
 

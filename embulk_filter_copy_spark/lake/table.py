@@ -171,9 +171,12 @@ class LakeTable:
     def schema_lsn(self) -> int:
         return self.snapshot()["schema_lsn"]
 
-    def bucket_expr(self) -> F.Column:
+    def bucket_expr(self, n_buckets: int | None = None) -> F.Column:
         """Hash-bucket of the key columns; the physical partitioning unit."""
-        return F.pmod(F.xxhash64(*[F.col(k) for k in self.key_columns]), F.lit(self.n_buckets))
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.key_columns]),
+            F.lit(n_buckets if n_buckets is not None else self.n_buckets),
+        )
 
     # ------------------------------------------------------------------
     # reads
@@ -395,16 +398,22 @@ class LakeTable:
                 cols.append(dflt.cast(spark_type(t)).alias(n))
         return df.select(*cols)
 
-    def _write_data_files(self, df: DataFrame, commit_dir: str, kind: str = "base") -> list[dict]:
-        """Write df into data/<commit_dir>/_bucket=*/ and return file entries."""
+    def _write_data_files(
+        self, df: DataFrame, commit_dir: str, kind: str = "base",
+        n_buckets: int | None = None,
+    ) -> list[dict]:
+        """Write df into data/<commit_dir>/_bucket=*/ and return file entries.
+        ``n_buckets`` overrides the snapshot's bucket count (rescale path)."""
         out_dir = os.path.join(self.path, "data", commit_dir)
-        staged = self._prepare_write(df).withColumn("_bucket", self.bucket_expr())
+        staged = self._prepare_write(df).withColumn(
+            "_bucket", self.bucket_expr(n_buckets)
+        )
         # one shuffle keyed by bucket so each bucket's rows land contiguously;
         # at cluster scale this is the co-partitioning the MERGE join reuses.
         # Width > cores: with exactly `cores` partitions the 64 bucket values
         # hash-collide unevenly (binomial) and the worst task strides the
         # whole write stage; 4x cores keeps ≤2 buckets per task
-        n_buckets = int(self.snapshot()["n_buckets"])
+        n_buckets = int(n_buckets if n_buckets is not None else self.snapshot()["n_buckets"])
         width = min(n_buckets, 4 * self.spark.sparkContext.defaultParallelism)
         staged = staged.repartition(width, F.col("_bucket"))
         staged.write.mode("errorifexists").partitionBy("_bucket").parquet(out_dir)
@@ -593,6 +602,44 @@ class LakeTable:
             "files_before": files_before,
             "files_after": res["files_added"],
             "rows": res["rows"],
+        }
+
+    def rescale_buckets(self, new_n_buckets: int) -> dict:
+        """Rewrite the whole table under a new bucket count — the knob a
+        growing table turns when its buckets get too coarse (a 100 TB table
+        wants thousands of buckets; a fresh one wants dozens). One shuffle
+        of the full data keyed by the NEW bucket function; merge-on-read
+        deltas are folded in (the scan resolves LWW) and tombstones are
+        preserved, so CDC semantics are unchanged. Atomic: readers see
+        either the old bucketing or the new one; concurrent writers lose
+        the snapshot race and retry (CommitConflict). At cluster scale this
+        is the same background job shape as a full compaction."""
+        new_n_buckets = int(new_n_buckets)
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        df = self.read(include_meta=True)
+        snap = self._next_snapshot()
+        entries = self._write_data_files(
+            df,
+            f"r{snap['version']:08d}-{uuid.uuid4().hex[:8]}",
+            n_buckets=new_n_buckets,
+        )
+        snap["n_buckets"] = new_n_buckets
+        snap["files"] = entries  # full replacement — every row was rewritten
+        snap["commits"] = snap["commits"] + [
+            {
+                "run_id": "__rescale__",
+                "epoch": snap["version"],
+                "seq": 0,
+                "n_buckets": new_n_buckets,
+                "committed_at": time.time(),
+            }
+        ]
+        self._write_snapshot(snap)
+        return {
+            "n_buckets": new_n_buckets,
+            "files": len(entries),
+            "rows": sum(e["rows"] for e in entries),
         }
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:

@@ -162,3 +162,43 @@ def test_expire_rejects_nonpositive_keep_last(spark, tmpdir_path):
     with pytest.raises(ValueError, match="keep_last"):
         t.expire_snapshots(keep_last=0)
     assert t.read().count() == 1  # nothing was deleted
+
+
+def test_rescale_buckets_preserves_state_and_merging(spark, tmpdir_path):
+    """Rescaling rewrites every row under the new bucket function; reads,
+    tombstones and subsequent merges must be unaffected."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from embulk_filter_copy_spark.cdc.apply import apply_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "rs"),
+                         [("k", "long"), ("v", "string")], key_columns=["k"], n_buckets=2)
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(20)], "k long, v string")
+             .withColumn("_lsn", F.lit(1)))
+    # delete one key (tombstone) pre-rescale
+    ev = spark.createDataFrame([(5, "D", 7, None)], "lsn long, op string, k long, v string")\
+        .withColumn("ts", F.timestamp_micros("lsn"))
+    apply_batch(t, ev, run_id="rs", epoch=0)
+    before = {r["k"]: r["v"] for r in t.read().collect()}
+
+    res = t.rescale_buckets(16)
+    assert t.n_buckets == 16 and res["rows"] == 20  # 19 live + 1 tombstone
+    buckets = {f["bucket"] for f in t.files()}
+    assert buckets <= set(range(16)) and len(buckets) > 2
+    assert {r["k"]: r["v"] for r in t.read().collect()} == before
+
+    # merges keep working under the new bucketing (incl. the deleted key
+    # staying deleted unless re-inserted at a higher LSN)
+    ev2 = spark.createDataFrame([(10, "U", 3, "new3"), (11, "I", 7, "back7")],
+                                "lsn long, op string, k long, v string")\
+        .withColumn("ts", F.timestamp_micros("lsn"))
+    apply_batch(t, ev2, run_id="rs", epoch=1)
+    after = {r["k"]: r["v"] for r in t.read().collect()}
+    assert after[3] == "new3" and after[7] == "back7" and len(after) == 20
+
+    with pytest.raises(ValueError):
+        t.rescale_buckets(0)
