@@ -124,6 +124,36 @@ SELECT node AS doc_id, min(lbl) AS comp FROM reach GROUP BY node
 """
 
 
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's final dedup verdict: one row per doc with its cluster
+    id and keep flag (keep = the cluster's min doc id — the canonical
+    survivor). This is the table a training-data pipeline joins against to
+    filter the corpus."""
+    comp = dedup_components(spark, sf_dir)
+    return comp.select(
+        "doc_id", "comp", (F.col("doc_id") == F.col("comp")).alias("keep")
+    )
+
+
+def _keep_list_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()[0]},
+pairs AS ({_minhash_pairs_ctes()[1]}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS comp FROM reach GROUP BY node)
+SELECT doc_id, comp, doc_id = comp AS keep FROM comp
+"""
+
+
 # ------------------------------------------------------------- jaccard
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.9, n=1)
@@ -507,6 +537,7 @@ QUERIES = {
     "dedup_minhash_signatures": (dedup_minhash_signatures, _minhash_sig_sql(8)),
     "dedup_minhash_pairs": (dedup_minhash_pairs, _minhash_pairs_sql()),
     "dedup_components": (dedup_components, _components_sql()),
+    "dedup_keep_list": (dedup_keep_list, _keep_list_sql()),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, DEDUP_JACCARD_SQL),
     "dedup_jaccard3_pairs": (dedup_jaccard3_pairs, DEDUP_JACCARD3_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_SQL),

@@ -244,3 +244,39 @@ def test_all_late_epoch_gated_on_redelivery(spark, tmpdir_path):
     r2 = apply_batch(t, late, run_id="late", epoch=1, quarantine=(qpath, 600))
     assert r2.get("skipped") is True
     assert spark.read.parquet(qpath).count() == n_quarantined
+
+
+def test_multi_sink_quarantine_shared_path(spark, tmpdir_path):
+    """Two concurrent sinks quarantining into ONE path: the serialized
+    append must not corrupt the directory (overlapping Spark jobs used to
+    race on _temporary/), and each sink contributes its copy of the late
+    rows."""
+    from embulk_filter_copy_spark.cdc.splitter import SinkSpec
+
+    base = gen_repo_files(spark, 40, seed=17)
+    ev = gen_change_events(spark, 40, 150, seed=17)
+    one_late = spark.createDataFrame(
+        [(99999, None, "I", "late/r", "p", "c", "py", "late", None)], DDL
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_767_225_600 - 7200)))
+    full = ev.unionByName(one_late)
+    log = os.path.join(tmpdir_path, "log")
+    full.coalesce(1).write.parquet(log)
+    sinks = []
+    for name in ("s1", "s2"):
+        pth = os.path.join(tmpdir_path, name)
+        t = LakeTable.create(spark, pth, REPO_FILES_SCHEMA,
+                             key_columns=["repo", "path"], n_buckets=4)
+        t.append(base.withColumn("_lsn", F.lit(0)))
+        sinks.append(SinkSpec(name=name, path=pth))
+    qpath = os.path.join(tmpdir_path, "q")
+    results = replay_stream(
+        spark, log, sinks, checkpoint=os.path.join(tmpdir_path, "ck"),
+        quarantine=(qpath, 600),
+    )
+    q = spark.read.parquet(qpath)
+    # one late row, quarantined once per sink (each sink applies its own
+    # transformed batch), all rows intact
+    assert q.count() == 2 and q.filter("repo = 'late/r'").count() == 2
+    for name in ("s1", "s2"):
+        t = LakeTable.load(spark, os.path.join(tmpdir_path, name))
+        assert t.read().filter("repo = 'late/r'").count() == 0
