@@ -51,7 +51,9 @@ SCALE_LEVELS = tuple(
 )
 SCALE_TRIALS = int(os.environ.get("EFC_SCALE_TRIALS", "4"))
 HEADLINE_TRIALS = int(os.environ.get("EFC_HEADLINE_TRIALS", "4"))
-WARMUP_EVENTS = int(os.environ.get("EFC_WARMUP_EVENTS", "200000"))
+# C2 needs several FULL passes of the merge pipeline; 200k-event warmups left
+# the first real trial 3-4x under steady state, dragging the median down
+WARMUP_EVENTS = int(os.environ.get("EFC_WARMUP_EVENTS", "600000"))
 # tmpfs by default: the ext4 root disk's writeback storms add ±2x wall-clock
 # noise to otherwise-identical runs; storage is identical across levels either
 # way, and best-of-K still applies on top
