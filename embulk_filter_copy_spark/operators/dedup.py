@@ -266,8 +266,11 @@ def connected_components(
     of its own label and its neighbors' labels (one equi-join + one
     partial-aggregated groupBy per round); converges in O(component
     diameter) rounds -- near-dup clusters are shallow (stars/cliques), so
-    2-4 rounds in practice. Convergence is detected by the monotone global
-    label sum (one cheap agg per round, no extra join). The driver loop
+    2-4 rounds in practice. Convergence is detected STRUCTURALLY: each
+    round carries a per-node changed flag and sums it (one cheap agg over
+    the already-checkpointed round output) — works for ANY orderable node
+    type incl. string doc ids, where a numeric-sum trick would silently
+    cast to NULL and declare convergence after one round. The driver loop
     only orchestrates; all data movement is shuffles on node ids. Each
     round's labels are ``localCheckpoint``-ed: iterative algorithms MUST
     truncate lineage or the logical plan (and codegen) grows by a copy of
@@ -285,9 +288,6 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("comp")
     ).localCheckpoint()
-    prev_sum = labels.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
     converged = False
     for _ in range(max_iters):
         nbr = (
@@ -295,23 +295,27 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        labels = (
+        # the changed flag rides through the checkpoint so the convergence
+        # agg runs on materialized rows (no join re-execution) and compares
+        # labels structurally — never via a lossy numeric projection
+        step = (
             labels.join(nbr, labels["node"] == nbr["dst"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
+                F.coalesce(F.col("nbr_comp") < F.col("comp"), F.lit(False)).alias("_chg"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:  # labels monotone non-increasing -> fixpoint
+        n_changed = step.agg(
+            F.sum(F.col("_chg").cast("int")).alias("n")
+        ).collect()[0]["n"]
+        labels = step.drop("_chg")
+        if not n_changed:  # no label moved -> fixpoint
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         # a component whose diameter exceeds max_iters would silently get
         # WRONG (partial) labels — surface it instead of returning them

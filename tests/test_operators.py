@@ -280,6 +280,25 @@ def test_connected_components_raises_when_unconverged(spark):
     assert set(got.values()) == {1}
 
 
+def test_connected_components_string_node_ids(spark):
+    """String doc ids must propagate correctly: the old numeric-sum
+    convergence check cast them to NULL and declared convergence after one
+    round, silently returning partial labels on multi-hop chains."""
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("x1", "x2")],
+        "a string, b string",
+    )
+    nodes = spark.createDataFrame(
+        [(f"d{i}",) for i in range(1, 5)] + [("x1",), ("x2",), ("z9",)],
+        "doc_id string",
+    )
+    got = {r["doc_id"]: r["comp"] for r in D.connected_components(pairs, nodes).collect()}
+    assert got == {
+        "d1": "d1", "d2": "d1", "d3": "d1", "d4": "d1",
+        "x1": "x1", "x2": "x1", "z9": "z9",
+    }
+
+
 def test_ivf_nprobe_recovers_cross_cell_neighbor(spark):
     """nprobe is the IVF recall lever: a neighbor in the query's
     second-best cell is invisible at nprobe=1 and found at nprobe=2."""
