@@ -50,7 +50,11 @@ def _batch_stats(table: LakeTable, batch: DataFrame, lsn_col: str) -> tuple[dict
             F.max(lsn_col).alias("lsn_max"),
             F.count(F.lit(1)).alias("rows"),
             F.collect_set("_bucket").alias("buckets"),
-            F.max("ts").alias("ts_max"),
+            # epoch seconds computed IN the aggregation: collecting a
+            # timestamp yields a naive datetime in the session tz whose
+            # .timestamp() the OS tz would reinterpret — skewing the
+            # quarantine high-water mark by the tz delta
+            F.max(F.col("ts").cast("double")).alias("ts_max"),
         )
         .collect()
     )
@@ -247,7 +251,8 @@ def apply_batch(
         F.max(F.when(is_data, F.col(lsn_col))).alias("lsn_max"),
         F.sum(F.when(is_data, F.lit(1)).otherwise(F.lit(0))).alias("rows"),
         F.collect_set(F.when(is_data, F.col("_bucket"))).alias("buckets"),
-        F.max(F.when(is_data, F.col("ts"))).alias("ts_max"),
+        # epoch seconds, not a naive datetime (see _batch_stats)
+        F.max(F.when(is_data, F.col("ts").cast("double"))).alias("ts_max"),
     ]
     has_schema_col = "schema_change" in batch.columns
     if has_schema_col:
@@ -311,7 +316,7 @@ def apply_batch(
             "seq": EPOCH_DONE_SEQ,
             "lsn_min": lsn_lo,
             "lsn_max": lsn_hi,
-            "ts_max": ts_hi.timestamp() if ts_hi is not None else None,
+            "ts_max": ts_hi,
             # exact post-dedup applied count when known at commit-build time
             # (observe-path exactness lands in the lineage file instead);
             # rows_source is always the pre-dedup coverage
@@ -357,7 +362,7 @@ def apply_batch(
         # manifests), not just this batch's max — a batch consisting
         # entirely of late events is fully quarantined instead of slipping
         # through because it defines its own "now"
-        batch_ts = ts_max.timestamp() if ts_max is not None else None
+        batch_ts = ts_max  # already epoch seconds (aggregated as double)
         hwm = table.high_ts()
         ref = max((v for v in (batch_ts, hwm) if v is not None), default=None)
         if ref is not None:
@@ -427,7 +432,7 @@ def apply_batch(
                 "lsn_max": stats["lsn_max"],
                 # stats are computed over the deduped batch → exact applied
                 "rows_applied": stats["rows"],
-                "ts_max": stats["ts_max"].timestamp() if stats["ts_max"] is not None else None,
+                "ts_max": stats["ts_max"],
             }
             if merge_mode == "mor":
                 append_delta_batch(table, deduped, commit, lsn_col=lsn_col, op_col=op_col)

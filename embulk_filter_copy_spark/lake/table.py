@@ -642,13 +642,33 @@ class LakeTable:
             "rows": sum(e["rows"] for e in entries),
         }
 
-    def expire_snapshots(self, keep_last: int = 10) -> dict:
+    def expire_snapshots(
+        self,
+        keep_last: int = 10,
+        sweep_orphans: bool = False,
+        orphan_grace_seconds: float = 3600.0,
+    ) -> dict:
         """Iceberg-maintenance analogue of ``expire_snapshots`` + orphan
         file GC: drop snapshot metadata older than the newest ``keep_last``
         versions and delete data files referenced ONLY by expired snapshots
         (copy-on-write rewrites and compactions strand the files they
         replaced — without expiration the table's storage grows with write
         history, not data size).
+
+        Crash-safety ordering: expired snapshot JSONs are removed FIRST,
+        then their now-unreferenced data files — a crash in between leaves
+        unreferenced files (cleaned by the next run's sweep), never a
+        still-listed snapshot pointing at deleted files (which would break
+        time travel to a listed version until a rerun).
+
+        ``sweep_orphans`` additionally scans ``data/`` for files referenced
+        by NO surviving snapshot — the leftovers of aborted commits
+        (``_write_data_files`` runs before ``_write_snapshot``, so a
+        CommitConflict loser's files are invisible to reference-diff GC) and
+        of crashes inside this method. Only files older than
+        ``orphan_grace_seconds`` (mtime) are swept, so an IN-FLIGHT writer's
+        not-yet-committed files are never deleted — same grace-window
+        contract as Iceberg's remove_orphan_files.
 
         Time travel (``read(version=...)``) and incremental reads
         (``read_changes(since_version=...)``) below the horizon raise
@@ -663,32 +683,54 @@ class LakeTable:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         cur = self.current_version()
         horizon = cur - keep_last + 1  # keep [horizon .. cur]
-        if horizon <= 1:
-            return {"snapshots_expired": 0, "files_deleted": 0}
-        kept_refs: set[str] = set()
-        for v in range(horizon, cur + 1):
-            kept_refs |= {f["path"] for f in self.snapshot_at(v)["files"]}
-        expired_versions = []
-        orphan_refs: set[str] = set()
-        for v in range(1, horizon):
-            snap_path = os.path.join(self._meta_dir, f"v{v:08d}.json")
-            if not os.path.exists(snap_path):
-                continue  # already expired by an earlier run (idempotent)
-            expired_versions.append(v)
-            orphan_refs |= {
-                f["path"] for f in self.snapshot_at(v)["files"]
-            } - kept_refs
         deleted = 0
-        for rel in sorted(orphan_refs):
-            p = os.path.join(self.path, rel)
-            if os.path.exists(p):
-                os.remove(p)
-                deleted += 1
-        for v in expired_versions:
-            os.remove(os.path.join(self._meta_dir, f"v{v:08d}.json"))
+        expired_versions: list[int] = []
+        if horizon > 1:
+            kept_refs: set[str] = set()
+            for v in range(horizon, cur + 1):
+                kept_refs |= {f["path"] for f in self.snapshot_at(v)["files"]}
+            orphan_refs: set[str] = set()
+            for v in range(1, horizon):
+                snap_path = os.path.join(self._meta_dir, f"v{v:08d}.json")
+                if not os.path.exists(snap_path):
+                    continue  # already expired by an earlier run (idempotent)
+                expired_versions.append(v)
+                orphan_refs |= {
+                    f["path"] for f in self.snapshot_at(v)["files"]
+                } - kept_refs
+            # metadata first (see docstring ordering contract)
+            for v in expired_versions:
+                os.remove(os.path.join(self._meta_dir, f"v{v:08d}.json"))
+            for rel in sorted(orphan_refs):
+                p = os.path.join(self.path, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+                    deleted += 1
+        swept = 0
+        if sweep_orphans:
+            live_refs: set[str] = set()
+            for name in os.listdir(self._meta_dir):
+                if name.startswith("v") and name.endswith(".json"):
+                    with open(os.path.join(self._meta_dir, name)) as f:
+                        live_refs |= {x["path"] for x in json.load(f)["files"]}
+            now = time.time()
+            for p in glob.glob(
+                os.path.join(self.path, "data", "*", "_bucket=*", "*.parquet")
+            ):
+                rel = os.path.relpath(p, self.path)
+                if rel in live_refs:
+                    continue
+                try:
+                    if now - os.path.getmtime(p) < orphan_grace_seconds:
+                        continue  # possibly an in-flight commit's file
+                    os.remove(p)
+                    swept += 1
+                except FileNotFoundError:
+                    pass  # concurrent cleanup
         return {
             "snapshots_expired": len(expired_versions),
             "files_deleted": deleted,
+            "orphans_swept": swept,
             "horizon": horizon,
         }
 

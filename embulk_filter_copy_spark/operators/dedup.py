@@ -77,7 +77,11 @@ def minhash_candidate_pairs(
     from pyspark.sql import Window
 
     k = bands * rows_per_band
-    assert all(f"mh{i}" in sig.columns for i in range(k)), "signature too narrow"
+    if not all(f"mh{i}" in sig.columns for i in range(k)):
+        raise ValueError(
+            f"signature too narrow: bands={bands} x rows_per_band={rows_per_band} "
+            f"needs mh0..mh{k - 1}"
+        )
     pairs = None
     for b in range(bands):
         cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -201,8 +205,16 @@ def simhash_pairs(
     the standard recall-for-throughput trade)."""
     from pyspark.sql import Window
 
-    assert bands > max_hamming, "banding is lossless only when bands > max_hamming"
-    assert bits % bands == 0
+    # ValueError, not assert: these guard the LOSSLESSNESS precondition —
+    # under `python -O` an assert is stripped and an invalid combination
+    # would silently return an incomplete pair set
+    if bands <= max_hamming:
+        raise ValueError(
+            f"banding is lossless only when bands > max_hamming "
+            f"(got bands={bands}, max_hamming={max_hamming})"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} must be divisible by bands={bands}")
     width = bits // bands
     sh = simhash16(df, id_col, text_col)
     # ONE exploded self-join on (band index, band value) instead of one join

@@ -148,6 +148,45 @@ def test_expire_snapshots_gc(spark, tmpdir_path):
     assert res2["snapshots_expired"] == 0 and res2["files_deleted"] == 0
 
 
+def test_expire_orphan_sweep_collects_aborted_commit_files(spark, tmpdir_path):
+    """An aborted commit (data files written, snapshot never committed —
+    the CommitConflict-loser shape) leaves files referenced by NO snapshot;
+    the reference-diff GC can't see them, the orphan sweep must — but only
+    past the grace window, so an in-flight writer's files survive."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "orph"),
+        [("k", "long"), ("v", "string")], key_columns=["k"], n_buckets=2,
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+             .withColumn("_lsn", F.lit(1)))
+    # simulate the aborted commit: copy a committed data dir to an
+    # uncommitted name (same layout _write_data_files produces)
+    committed = glob.glob(os.path.join(t.path, "data", "c*"))[0]
+    aborted = os.path.join(t.path, "data", "c99999999-deadbeef")
+    shutil.copytree(committed, aborted)
+    orphan_files = glob.glob(os.path.join(aborted, "_bucket=*", "*.parquet"))
+    assert orphan_files
+    # inside the grace window: kept (could be an in-flight commit)
+    res = t.expire_snapshots(keep_last=1, sweep_orphans=True,
+                             orphan_grace_seconds=3600)
+    assert res["orphans_swept"] == 0
+    assert all(os.path.exists(p) for p in orphan_files)
+    # past the grace window: swept; referenced files untouched
+    res = t.expire_snapshots(keep_last=1, sweep_orphans=True,
+                             orphan_grace_seconds=0)
+    assert res["orphans_swept"] == len(orphan_files)
+    assert not any(os.path.exists(p) for p in orphan_files)
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+
+
 def test_expire_rejects_nonpositive_keep_last(spark, tmpdir_path):
     import os
 
