@@ -39,6 +39,14 @@ from embulk_filter_copy_spark.lake.table import LakeTable
 EPOCH_DONE_SEQ = -1
 
 
+def _ts_epoch(col: str = "ts") -> F.Column:
+    """Event time as epoch seconds, computed JVM-side. The double cast goes
+    through TIMESTAMP because TIMESTAMP_NTZ (what plain parquet event logs
+    read back as) cannot cast to double directly; the session timezone is
+    pinned to UTC (session.py), so the NTZ→TZ interpretation is stable."""
+    return F.col(col).cast("timestamp").cast("double")
+
+
 def _batch_stats(table: LakeTable, batch: DataFrame, lsn_col: str) -> tuple[dict, list[dict]]:
     """One job: per-partition lineage + global stats + affected buckets."""
     rows = (
@@ -54,7 +62,7 @@ def _batch_stats(table: LakeTable, batch: DataFrame, lsn_col: str) -> tuple[dict
             # timestamp yields a naive datetime in the session tz whose
             # .timestamp() the OS tz would reinterpret — skewing the
             # quarantine high-water mark by the tz delta
-            F.max(F.col("ts").cast("double")).alias("ts_max"),
+            F.max(_ts_epoch()).alias("ts_max"),
         )
         .collect()
     )
@@ -252,7 +260,7 @@ def apply_batch(
         F.sum(F.when(is_data, F.lit(1)).otherwise(F.lit(0))).alias("rows"),
         F.collect_set(F.when(is_data, F.col("_bucket"))).alias("buckets"),
         # epoch seconds, not a naive datetime (see _batch_stats)
-        F.max(F.when(is_data, F.col("ts").cast("double"))).alias("ts_max"),
+        F.max(F.when(is_data, _ts_epoch())).alias("ts_max"),
     ]
     has_schema_col = "schema_change" in batch.columns
     if has_schema_col:
@@ -367,7 +375,7 @@ def apply_batch(
         ref = max((v for v in (batch_ts, hwm) if v is not None), default=None)
         if ref is not None:
             threshold = ref - delta
-            late = data.filter(F.col("ts").cast("double") < F.lit(threshold)).persist()
+            late = data.filter(_ts_epoch() < F.lit(threshold)).persist()
             try:
                 quarantined = late.count()
                 if quarantined:
@@ -379,7 +387,7 @@ def apply_batch(
 
                     with quarantine_lock or contextlib.nullcontext():
                         late.write.mode("append").parquet(qpath)
-                    data = data.filter(F.col("ts").cast("double") >= F.lit(threshold))
+                    data = data.filter(_ts_epoch() >= F.lit(threshold))
             finally:
                 late.unpersist()
 

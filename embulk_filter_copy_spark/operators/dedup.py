@@ -159,24 +159,50 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over the unigram token set, all JVM-side expressions:
-    per bit, majority vote of token-hash bits; no UDF, one groupBy."""
+def simhash_sig(
+    df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``bits``-bit SimHash over the unigram token set, all JVM-side
+    expressions: per bit, majority vote of token-hash bits; no UDF, ONE
+    groupBy regardless of width (the ``bits`` sums are sibling aggregates
+    with map-side partials).
+
+    Bit sources: bits 0-31 come from the ``sim:``-salted portable 60-bit
+    hash — so ``bits=16`` is bit-identical to the engine's original 16-bit
+    simhash (and its DuckDB oracle) — and bits 32-63 from an independent
+    ``sim2:`` salt. The signature is assembled with bitwise OR of shifted
+    bits, NOT addition: bit 63 as an addend would overflow the signed
+    long, while ``shiftleft(1L, 63)`` is well-defined two's-complement."""
+    if bits not in (16, 32, 64):
+        raise ValueError(f"bits must be one of 16/32/64, got {bits}")
     tok = tokens(df, id_col, text_col).withColumn(
-        "h", F.expr(spark_phash("tok", "sim:"))
+        "h1", F.expr(spark_phash("tok", "sim:"))
     )
-    votes = [
-        F.sum(
-            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v{b}")
-        for b in range(16)
-    ]
+    if bits > 32:
+        tok = tok.withColumn("h2", F.expr(spark_phash("tok", "sim2:")))
+    votes = []
+    for b in range(bits):
+        src, sh = ("h1", b) if b < 32 else ("h2", b - 32)
+        votes.append(
+            F.sum(
+                F.when(F.expr(f"({src} >> {sh}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+        )
     agg = tok.groupBy(id_col).agg(*votes)
     sim = None
-    for b in range(16):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
+    for b in range(bits):
+        bit = (
+            F.when(F.col(f"v{b}") > 0, F.expr(f"shiftleft(cast(1 as bigint), {b})"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sim = bit if sim is None else sim.bitwiseOR(bit)
     return agg.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The original 16-bit operator, now a :func:`simhash_sig` special case
+    (same hash values, same column names)."""
+    return simhash_sig(df, 16, id_col=id_col, text_col=text_col)
 
 
 def simhash_pairs(
@@ -198,11 +224,13 @@ def simhash_pairs(
     most ``max_hamming`` differing bits spread over ``bands`` disjoint bands
     leave at least one band bit-identical), so the result equals the
     all-pairs answer without ever forming it. At 100 TB scale the knobs
-    shift to a 64-bit simhash with 16-bit bands (band-key space 2^16, so a
-    band bucket holds ~n/65536 docs); ``max_bucket_size`` additionally caps
-    degenerate buckets exactly like :func:`minhash_candidate_pairs`
-    (capping breaks the lossless guarantee for docs inside capped buckets —
-    the standard recall-for-throughput trade)."""
+    shift to ``bits=64, bands=4`` (16-bit bands: band-key space 2^16, so a
+    band bucket holds ~n/65536 docs) — ``bits`` is genuinely parameterized
+    through :func:`simhash_sig`, and 16-bit output is unchanged.
+    ``max_bucket_size`` additionally caps degenerate buckets exactly like
+    :func:`minhash_candidate_pairs` (capping breaks the lossless guarantee
+    for docs inside capped buckets — the standard recall-for-throughput
+    trade)."""
     from pyspark.sql import Window
 
     # ValueError, not assert: these guard the LOSSLESSNESS precondition —
@@ -216,7 +244,7 @@ def simhash_pairs(
     if bits % bands != 0:
         raise ValueError(f"bits={bits} must be divisible by bands={bands}")
     width = bits // bands
-    sh = simhash16(df, id_col, text_col)
+    sh = simhash_sig(df, bits, id_col=id_col, text_col=text_col)
     # ONE exploded self-join on (band index, band value) instead of one join
     # per band: the explode multiplies rows by `bands` (tiny rows: id +
     # simhash + band key) but computes the simhash aggregation once per join
@@ -344,6 +372,7 @@ def embedding_near_dup_pairs(
     n_cells: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by IVF centroid cell — the
     same coarse quantizer :func:`~.similarity.ann_ivf_topk` uses, so the
@@ -352,7 +381,10 @@ def embedding_near_dup_pairs(
     (cells of ~10^4 vectors), the corpus hash-partitions by cell, and each
     cell's self-join is local. Cell blocking trades recall for boundedness
     exactly like IVF search (cross-cell near-dups are missed; raise nprobe /
-    n_cells overlap to recover them)."""
+    n_cells overlap to recover them). ``method`` selects the assignment
+    strategy (literal inline vs broadcast join, identical cells — see
+    ``similarity.assign_cells``); ``auto`` switches to the join path past
+    the inline codegen ceiling."""
     from embulk_filter_copy_spark.operators.similarity import (
         assign_cells,
         cosine_expr,
@@ -362,7 +394,7 @@ def embedding_near_dup_pairs(
     cents = ivf_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
     cells = assign_cells(
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-        cents, n_cells, "_v",
+        cents, n_cells, "_v", id_col="_id", method=method,
     )
     a = cells.select(F.col("_id").alias("a"), F.col("_v").alias("va"), "cell")
     b = cells.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), "cell")

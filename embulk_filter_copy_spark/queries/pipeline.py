@@ -250,6 +250,57 @@ SELECT DISTINCT a, b, hamming FROM (
 """
 
 
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB simhash configuration: 64-bit signature, 4 x 16-bit bands
+    (band-key space 2^16 — buckets hold ~n/65536 docs), lossless for
+    max_hamming=2 since bands > max_hamming. Exercises the parameterized
+    ``bits`` path end-to-end against a full DuckDB replay (the old code
+    hardcoded 16 bits and silently degenerated at bits=64)."""
+    return D.simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        max_hamming=2, bands=4, bits=64, max_bucket_size=_SIMHASH_CAP,
+    )
+
+
+# 64-bit oracle notes: bit 63 is assembled from the MIN_VALUE literal
+# (DuckDB raises on 1::BIGINT << 63) via bit_or (sum would overflow);
+# bits 32-63 come from the independent 'sim2:' salt, mirroring simhash_sig.
+DEDUP_SIMHASH64_SQL = f"""
+WITH {_TOK_CTE},
+th AS (SELECT doc_id, {duck_phash("tok", "sim:")} AS h1,
+              {duck_phash("tok", "sim2:")} AS h2 FROM tok),
+votes AS (
+  SELECT doc_id, bb,
+         sum(CASE WHEN ((CASE WHEN bb < 32 THEN h1 >> bb
+                              ELSE h2 >> (bb - 32) END) & 1) = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM th, range(64) t(bb) GROUP BY doc_id, bb
+),
+sh AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN v > 0
+                     THEN (CASE WHEN bb = 63 THEN (-9223372036854775807 - 1)
+                                ELSE (1::BIGINT << bb) END)
+                     ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+),
+e AS (
+  SELECT doc_id, simhash, bi, (simhash >> (bi * 16)) & 65535 AS bv
+  FROM sh, range(4) t(bi)
+),
+ec AS (
+  SELECT doc_id, simhash, bi, bv FROM (
+    SELECT *, count(*) OVER (PARTITION BY bi, bv) AS bs FROM e
+  ) WHERE bs <= {_SIMHASH_CAP}
+)
+SELECT DISTINCT a, b, hamming FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+  FROM ec x JOIN ec y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id
+) WHERE hamming <= 2
+"""
+
+
 # ------------------------------------------------------------- embeddings
 _DCOS = (
     "list_dot_product(x.e, y.e) / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))"
@@ -334,6 +385,31 @@ SELECT query_id, cell, rank, neighbor_id, cos FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def ann_ivf_joinpath_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME IVF search forced onto the broadcast-join cell-assignment
+    path (the 100 TB strategy — O(1) expression size in n_cells) against
+    the SAME oracle as the literal path: the driver's value-hash gate
+    proves the two physical strategies are semantically identical."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), n_cells=4, k=5, method="join"
+    )
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over deterministically-seeded k-means centroids (2 Lloyd rounds,
+    broadcast-join assignment, nprobe=2) — the full scale configuration.
+    k-means is iterative and not SQL-expressible, so this query has no
+    DuckDB oracle (driver records the rows-only check); the operator's
+    semantics are pinned by pytest property tests instead
+    (test_operators.py: seed equality at n_iters=0, blob separation,
+    rank-shape self-consistency)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ann_ivf_kmeans_topk(
+        emb, emb.filter(F.col("vec_id") < 5), n_cells=4, k=5, nprobe=2, n_iters=2
+    )
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,10 +617,13 @@ QUERIES = {
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, DEDUP_JACCARD_SQL),
     "dedup_jaccard3_pairs": (dedup_jaccard3_pairs, DEDUP_JACCARD3_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_SQL),
+    "dedup_simhash64_pairs": (dedup_simhash64_pairs, DEDUP_SIMHASH64_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
+    "ann_ivf_joinpath_topk": (ann_ivf_joinpath_topk, _ivf_sql()),
+    "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, None),
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_quality_by_source": (text_quality_by_source, TEXT_QUALITY_SQL),
     "text_lang_id_confusion": (text_lang_id_confusion, _lang_id_sql()),

@@ -314,3 +314,134 @@ def test_ivf_nprobe_recovers_cross_cell_neighbor(spark):
     n2 = {r["neighbor_id"] for r in S.ann_ivf_topk(emb, q, n_cells=2, k=4, nprobe=2).collect()}
     assert 2 not in n1 and 0 in n1
     assert 2 in n2 and n1 < n2
+
+
+@pytest.fixture(scope="module")
+def synth_emb(spark):
+    """Deterministic 120-vector corpus, 4-dim, mildly clustered around two
+    directions so cell assignment is meaningful."""
+    rows = []
+    for i in range(120):
+        base = [1.0, 0.1, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.1, 1.0, 0.2]
+        rows.append((i, [round(b + ((i * 7 + j * 3) % 11) / 37.0, 4)
+                         for j, b in enumerate(base)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_assign_cells_join_path_equals_literal(synth_emb):
+    """The broadcast-join argmax must assign the EXACT same cell as the
+    literal-inline path — same 6dp rounding, same lowest-cell tie-break."""
+    cents = S.ivf_centroids(synth_emb, 8)
+    base = synth_emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    lit = {r["_id"]: r["cell"] for r in
+           S.assign_cells(base, cents, 8, "_v", method="literal").collect()}
+    jn = {r["_id"]: r["cell"] for r in
+          S.assign_cells(base, cents, 8, "_v", id_col="_id", method="join").collect()}
+    assert lit == jn and len(lit) == 120
+
+
+def test_assign_cells_topk_join_path_equals_literal(synth_emb):
+    cents = S.ivf_centroids(synth_emb, 8)
+    base = synth_emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    lit = {(r["_id"], r["cell"]) for r in
+           S.assign_cells_topk(base, cents, 8, "_v", 3, method="literal").collect()}
+    jn = {(r["_id"], r["cell"]) for r in
+          S.assign_cells_topk(base, cents, 8, "_v", 3, id_col="_id", method="join").collect()}
+    assert lit == jn and len(lit) == 3 * 120
+
+
+def test_ann_ivf_topk_join_method_equals_literal(synth_emb):
+    q = synth_emb.filter("vec_id < 3")
+    lit = sorted(map(tuple, S.ann_ivf_topk(synth_emb, q, n_cells=4, k=5,
+                                           method="literal").collect()))
+    jn = sorted(map(tuple, S.ann_ivf_topk(synth_emb, q, n_cells=4, k=5,
+                                          method="join").collect()))
+    assert lit == jn and len(lit) == 15
+
+
+def test_assign_cells_auto_switches_and_requires_id(synth_emb):
+    base = synth_emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    cents = S.ivf_centroids(synth_emb, S.INLINE_CELLS_MAX + 1)
+    with pytest.raises(ValueError, match="id_col"):
+        S.assign_cells(base, cents, S.INLINE_CELLS_MAX + 1, "_v")  # auto→join, no id
+    out = S.assign_cells(base, cents, S.INLINE_CELLS_MAX + 1, "_v", id_col="_id")
+    assert out.count() == 120
+
+
+def test_assign_cells_join_empty_centroids(spark, synth_emb):
+    empty = spark.createDataFrame([], "cent_id int, cent_v array<float>")
+    base = synth_emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    out = S.assign_cells(base, empty, 0, "_v", id_col="_id", method="join")
+    assert {r["cell"] for r in out.collect()} == {-1}
+
+
+def test_kmeans_zero_iters_is_seed_and_refinement_separates_blobs(spark):
+    """n_iters=0 returns the positional seed; with iterations, two clean
+    blobs end with one centroid per blob and a blob-pure assignment."""
+    # directions matter (cosine k-means): seeds vec0/vec1 start as two
+    # slightly-different blob-A directions; Lloyd must pull one to blob B
+    rows = [(i, [1.0, 0.02 * (i % 5)]) for i in range(10)] + \
+           [(10 + i, [0.02 * (i % 5), 1.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seed = {r["cent_id"]: list(r["cent_v"]) for r in S.kmeans_centroids(emb, 2, n_iters=0).collect()}
+    ivf = {r["cent_id"]: [float(x) for x in r["cent_v"]] for r in S.ivf_centroids(emb, 2).collect()}
+    assert set(seed) == set(ivf) == {0, 1}
+    for c in seed:
+        assert seed[c] == pytest.approx(ivf[c], abs=1e-6)
+    cents = S.kmeans_centroids(emb, 2, n_iters=3)
+    got = S.assign_cells(
+        emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")),
+        cents, 2, "_v", id_col="_id", method="join",
+    ).collect()
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], set()).add(r["_id"] < 10)
+    assert len(by_cell) == 2
+    for members in by_cell.values():
+        assert len(members) == 1  # each cell is blob-pure
+
+
+def test_ann_ivf_kmeans_topk_shape_and_selfconsistency(synth_emb):
+    q = synth_emb.filter("vec_id < 3")
+    out = S.ann_ivf_kmeans_topk(synth_emb, q, n_cells=4, k=5, nprobe=2, n_iters=2)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        assert all(r["neighbor_id"] != qid for r in rs)
+
+
+def test_simhash64_low_bits_match_16bit_and_high_bits_live(docs):
+    """bits=16 output must be byte-identical to the original operator (its
+    DuckDB oracle is frozen), the 64-bit signature's low 16 bits must equal
+    it (same 'sim:' hash bits), and high bits (32-63, the 'sim2:' salt)
+    must actually carry signal — the old hardcoded-16 path left them zero,
+    collapsing bands into degenerate all-docs buckets."""
+    s16 = {r["doc_id"]: r["simhash"] for r in D.simhash16(docs).collect()}
+    s64 = {r["doc_id"]: r["simhash"] for r in D.simhash_sig(docs, bits=64).collect()}
+    assert set(s16) == set(s64)
+    for d, h in s64.items():
+        assert (h & 0xFFFF) == s16[d]
+    assert any((h >> 32) & 0xFFFFFFFF for h in s64.values())
+
+
+def test_simhash64_bands_not_degenerate(docs):
+    """bits=64, bands=4: every band index must have >1 distinct band value
+    across a non-trivial corpus (the old footgun made bands 1-3 identically
+    zero → three all-docs buckets → a quadratic join)."""
+    sh = D.simhash_sig(docs, bits=64)
+    vals = sh.select(
+        *[F.expr(f"(simhash >> {i * 16}) & 65535").alias(f"b{i}") for i in range(4)]
+    ).collect()
+    for i in range(1, 4):
+        assert len({r[f"b{i}"] for r in vals}) > 1
+
+
+def test_simhash_pairs_rejects_bad_bits(docs):
+    with pytest.raises(ValueError, match="bits"):
+        D.simhash_pairs(docs, max_hamming=2, bands=4, bits=48)
+    with pytest.raises(ValueError, match="lossless"):
+        D.simhash_pairs(docs, max_hamming=4, bands=4)

@@ -131,3 +131,23 @@ def test_embedding_near_dup_plan_is_cell_blocked(spark):
 
     p = plan(dedup_embedding_cosine(spark, SF))
     assert "cell" in p and "label" not in p
+
+
+def test_ivf_join_assignment_plan_is_constant_size(spark):
+    """At n_cells >= 256 the auto assignment must take the broadcast-join
+    path: NO per-cell CASE WHEN chain / greatest(...) in the plan (the
+    literal path's O(n_cells) expression breaks JVM codegen at the cell
+    counts a 100 TB corpus needs), and the centroid side must be broadcast."""
+    from embulk_filter_copy_spark.operators import similarity as S
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(4)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.ivf_centroids(emb, 256)
+    out = S.assign_cells(
+        emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")),
+        cents, 256, "_v", id_col="_id",  # method="auto" → join at 256 cells
+    )
+    p = plan(out)
+    assert p.count("CASE WHEN") < 10      # literal path would have ~256
+    assert "greatest" not in p            # the literal argmax marker
+    assert "Broadcast" in p               # centroids flow as broadcast data
