@@ -366,6 +366,97 @@ def connected_components(
     return labels.select(F.col("node").alias(node_col), "comp")
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "doc_id",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log n) rounds on ANY graph shape, vs min-label
+    propagation's O(diameter): a 10^6-hop chain converges in ~20 rounds
+    here where :func:`connected_components` would need 10^6.
+
+    Per round, two edge rewrites (each one groupBy + one join, shuffles
+    keyed on node ids, map-side-combined mins):
+      * large-star: every node's strictly-larger neighbors re-attach to the
+        min of its neighborhood (incl. itself);
+      * small-star: edges oriented toward the smaller endpoint, then every
+        node's smaller-or-equal neighborhood re-attaches to its min.
+    The fixpoint is a star forest — every non-root node holds exactly the
+    edge (node, component-min). Convergence is detected STRUCTURALLY
+    (set-equality of consecutive edge sets, never a numeric checksum), and
+    the edge set is ``localCheckpoint``-ed per round (iterative lineage
+    truncation — same rule as the label-prop sibling). Works for any
+    orderable node type (longs, string doc ids).
+
+    Same signature and output as :func:`connected_components`, so callers
+    (and the recursive-CTE oracle) swap freely; prefer this variant when
+    components may be long chains rather than shallow near-dup clusters."""
+    E = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        out = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so min(N ∪ {u}) = min(v)
+        nbrs = o.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        selfs = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            nbrs.unionByName(selfs)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    converged = E.isEmpty()
+    for _ in range(max_rounds):
+        if converged:
+            break
+        new_e = small_star(large_star(E)).localCheckpoint()
+        # structural set-equality: equal counts + empty difference
+        if (
+            new_e.count() == E.count()
+            and new_e.subtract(E).isEmpty()
+        ):
+            converged = True
+        E = new_e
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds; raise max_rounds"
+        )
+    # fixpoint edges are (node, component-min) stars; isolated nodes label themselves
+    roots = E.groupBy("u").agg(F.min("v").alias("comp"))
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(roots, F.col("node") == F.col("u"), "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce(F.col("comp"), F.col("node")).alias("comp"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.35,

@@ -124,6 +124,20 @@ SELECT node AS doc_id, min(lbl) AS comp FROM reach GROUP BY node
 """
 
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clustering computed by large-star/small-star contraction
+    (O(log n) rounds on any graph shape — the variant a 10^10-edge graph
+    with long chains needs) against the SAME recursive-CTE oracle as the
+    label-propagation implementation: the driver's hash gate proves the two
+    algorithms agree."""
+    docs = t(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=8)
+    pairs = D.minhash_candidate_pairs(
+        sig, bands=4, rows_per_band=2, max_bucket_size=_MINHASH_CAP
+    )
+    return D.connected_components_star(pairs, docs.select("doc_id"))
+
+
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's final dedup verdict: one row per doc with its cluster
     id and keep flag (keep = the cluster's min doc id — the canonical
@@ -613,6 +627,7 @@ QUERIES = {
     "dedup_minhash_signatures": (dedup_minhash_signatures, _minhash_sig_sql(8)),
     "dedup_minhash_pairs": (dedup_minhash_pairs, _minhash_pairs_sql()),
     "dedup_components": (dedup_components, _components_sql()),
+    "dedup_components_star": (dedup_components_star, _components_sql()),
     "dedup_keep_list": (dedup_keep_list, _keep_list_sql()),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, DEDUP_JACCARD_SQL),
     "dedup_jaccard3_pairs": (dedup_jaccard3_pairs, DEDUP_JACCARD3_SQL),
