@@ -39,6 +39,41 @@ from embulk_filter_copy_spark.lake.table import LakeTable
 EPOCH_DONE_SEQ = -1
 
 
+def quarantine_dir(qpath: str, run_id: str, epoch: int, sink_id: str) -> str:
+    """Deterministic per-(run, epoch, sink) partition directory under the
+    shared quarantine root. ``qpart=`` naming makes the root readable as one
+    partitioned parquet dataset (:func:`read_quarantine`)."""
+    return os.path.join(qpath, f"qpart={run_id}-e{epoch}-{sink_id}")
+
+
+def write_quarantine(
+    late: DataFrame, qpath: str, run_id: str, epoch: int, sink_id: str
+) -> None:
+    """Write late rows to their own deterministic directory with OVERWRITE:
+
+    * idempotent on epoch replay — a crash between the quarantine write and
+      the epoch commit re-runs into the SAME directory instead of appending
+      duplicates;
+    * safe for concurrent writers in SEPARATE PROCESSES — each (sink, epoch)
+      owns its directory, so no two Spark jobs ever share a ``_temporary/``
+      staging dir. (The previous shared-append design serialized appends
+      with an in-process lock, which a second driver process could not see.)
+    """
+    late.write.mode("overwrite").parquet(quarantine_dir(qpath, run_id, epoch, sink_id))
+
+
+def read_quarantine(spark, qpath: str) -> DataFrame:
+    """All quarantined rows across runs/epochs/sinks — drops the ``qpart``
+    partition column the per-writer layout introduces."""
+    return spark.read.parquet(qpath).drop("qpart")
+
+
+def _sink_id(table: LakeTable) -> str:
+    import hashlib
+
+    return hashlib.sha1(table.path.encode()).hexdigest()[:8]
+
+
 def _ts_epoch(col: str = "ts") -> F.Column:
     """Event time as epoch seconds, computed JVM-side. The double cast goes
     through TIMESTAMP because TIMESTAMP_NTZ (what plain parquet event logs
@@ -214,7 +249,6 @@ def apply_batch(
     quarantine: tuple[str, int] | None = None,
     merge_mode: str = "cow",
     exact_applied: bool = True,
-    quarantine_lock=None,
 ) -> dict:
     """Apply one microbatch epoch to `table`, exactly once.
 
@@ -242,9 +276,10 @@ def apply_batch(
     by a final ``seq=-1`` marker.
 
     ``quarantine=(path, delta_seconds)``: events with ts older than
-    batch-max(ts) - delta are appended to the quarantine parquet path and
-    excluded from the merge (the late-beyond-watermark path), counted in
-    the returned stats.
+    max(batch ts_max, table high-water mark) - delta are written to a
+    per-(run, epoch, sink) directory under the quarantine path
+    (:func:`write_quarantine` — idempotent on replay, cross-process safe)
+    and excluded from the merge, counted in the returned stats.
     """
     if table.has_commit(run_id, epoch, EPOCH_DONE_SEQ):
         return {"skipped": True, "run_id": run_id, "epoch": epoch}
@@ -379,14 +414,7 @@ def apply_batch(
             try:
                 quarantined = late.count()
                 if quarantined:
-                    # concurrent fan-out sinks share one quarantine path;
-                    # overlapping Spark append jobs on the same directory
-                    # fight over _temporary/ (one job's commit deletes the
-                    # other's in-flight task files) — serialize the append
-                    import contextlib
-
-                    with quarantine_lock or contextlib.nullcontext():
-                        late.write.mode("append").parquet(qpath)
+                    write_quarantine(late, qpath, run_id, epoch, _sink_id(table))
                     data = data.filter(_ts_epoch() >= F.lit(threshold))
             finally:
                 late.unpersist()

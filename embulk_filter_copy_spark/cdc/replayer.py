@@ -73,10 +73,6 @@ class FanoutApplier:
         self.max_sink_threads = max_sink_threads
         self.results: list[dict] = []
         self._keys_match: bool | None = None
-        # sinks share one quarantine path; their appends must not overlap
-        import threading
-
-        self._quarantine_lock = threading.Lock() if quarantine else None
 
     # transform kinds that never add/drop/reorder ROWS — for these, LWW dedup
     # commutes with the per-sink chain, so the fan-out dedups ONCE and shares
@@ -134,7 +130,6 @@ class FanoutApplier:
                 quarantine=self.quarantine,
                 merge_mode=self.merge_mode,
                 exact_applied=False,  # Observation.get deadlocks in foreachBatch
-                quarantine_lock=self._quarantine_lock,
             )
             res["sink"] = leaf.name
             return res
@@ -176,6 +171,7 @@ def replay_stream(
     progress_dir: str | None = None,
     source_format: str = "parquet",
     payload_wrapper: bool = False,
+    kafka_options: dict | None = None,
 ) -> list[dict]:
     """Structured-Streaming replay of an event-log directory into N sinks.
 
@@ -217,13 +213,10 @@ def replay_stream(
         recorder = ProgressRecorder(progress_dir)
         spark.streams.addListener(recorder)
 
-    if source_format == "debezium-jsonl":
-        # Debezium JSON envelopes (newline-delimited). The row-image columns
-        # come from (in order): an explicit event_schema (envelope columns
-        # lsn/ts/op/schema_change excluded), else the FIRST sink table's
-        # schema — never a hard-coded shape.
-        from embulk_filter_copy_spark.sources.debezium import read_debezium_jsonl
-
+    def _row_image_columns() -> list[tuple[str, object]]:
+        # the Debezium row-image columns come from (in order): an explicit
+        # event_schema (envelope columns lsn/ts/op/schema_change excluded),
+        # else the FIRST sink table's schema — never a hard-coded shape
         envelope = {"lsn", "ts", "op", "schema_change"}
         if event_schema is not None:
             struct = (
@@ -231,21 +224,43 @@ def replay_stream(
                 if isinstance(event_schema, str)
                 else event_schema
             )
-            columns = [(f.name, f.dataType) for f in struct.fields if f.name not in envelope]
-        else:
-            columns = [
-                (f.name, f.type)
-                for f in LakeTable.load(spark, leaves[0].path).schema.fields
-            ]
+            return [(f.name, f.dataType) for f in struct.fields if f.name not in envelope]
+        return [
+            (f.name, f.type)
+            for f in LakeTable.load(spark, leaves[0].path).schema.fields
+        ]
+
+    if source_format == "debezium-jsonl":
+        # Debezium JSON envelopes (newline-delimited file stream)
+        from embulk_filter_copy_spark.sources.debezium import read_debezium_jsonl
+
         opts = (
             {"maxFilesPerTrigger": max_files_per_trigger}
             if max_files_per_trigger is not None
             else None
         )
         stream = read_debezium_jsonl(
-            spark, events_path, columns, streaming=True, options=opts,
+            spark, events_path, _row_image_columns(), streaming=True, options=opts,
             payload_wrapper=payload_wrapper,
         )
+    elif source_format == "kafka":
+        # Debezium over Kafka: ``events_path`` is the topic subscription and
+        # ``kafka_options`` carries the connection config (bootstrap
+        # servers, startingOffsets, maxOffsetsPerTrigger as the backpressure
+        # knob). The value column funnels into the SAME parse_debezium as
+        # the file stream (it is column-source-agnostic), so envelope
+        # semantics — op mapping, payload unwrap, dead-letter flag — are
+        # identical across transports. Requires the spark-sql-kafka package
+        # on the classpath (spark-submit --packages
+        # org.apache.spark:spark-sql-kafka-0-10_<scala>:<spark-version>).
+        from embulk_filter_copy_spark.sources.debezium import parse_debezium
+
+        reader = spark.readStream.format("kafka").option("subscribe", events_path)
+        for k, v in (kafka_options or {}).items():
+            reader = reader.option(k, v)
+        raw = reader.load().selectExpr("CAST(value AS STRING) AS value")
+        ev = parse_debezium(raw, _row_image_columns(), payload_wrapper=payload_wrapper)
+        stream = ev.filter(~F.col("_bad")).drop("_bad")
     else:
         reader = spark.readStream.schema(event_schema or event_struct())
         if max_files_per_trigger is not None:

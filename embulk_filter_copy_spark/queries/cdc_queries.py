@@ -215,9 +215,16 @@ FROM events c WHERE c.event_type = 'click'
 # ---------------------------------------------------------------------------
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same hourly rollup computed THROUGH Structured Streaming
-    (readStream → tumbling event-time window → memory sink, availableNow) —
-    proves the streaming path yields batch-identical results."""
-    import uuid
+    (readStream → tumbling event-time window, availableNow) — proves the
+    streaming path yields batch-identical results.
+
+    Scale shape: UPDATE output mode with the emissions spilled to parquet
+    from inside foreachBatch (executor-side append, never collected to the
+    driver) and a distributed last-emission-per-group reduce — complete
+    mode + a memory sink would re-emit the whole aggregate every batch and
+    hold O(windows × event_types) rows on the driver (the
+    streaming_stateful_repo_stats pattern, now shared by both queries)."""
+    import tempfile
 
     schema = t(spark, sf_dir, "events").schema
     stream = (
@@ -231,16 +238,29 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), reps(F.sum("value"), 2).alias("total_value"))
     )
-    qname = f"hourly_{uuid.uuid4().hex[:8]}"
+    out_dir = tempfile.mkdtemp(prefix="efc-hourly-out-")
     q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
+        agg.writeStream.foreachBatch(
+            # stamp the epoch so the reduce can pick each group's LAST
+            # emission (update mode re-emits a group whenever a batch
+            # changes it)
+            lambda df, eid: df.withColumn("_eid", F.lit(int(eid)))
+            .write.mode("append").parquet(out_dir)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="efc-hourly-ck-"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(qname).select(
+    emitted = spark.read.parquet(out_dir)
+    final = (
+        emitted.groupBy("win", "event_type")
+        .agg(F.max_by(F.struct("n", "total_value"), F.col("_eid")).alias("_w"))
+        .select("win", "event_type", F.col("_w.n").alias("n"),
+                F.col("_w.total_value").alias("total_value"))
+    )
+    return final.select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
         "n",

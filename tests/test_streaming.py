@@ -115,7 +115,9 @@ def test_quarantine_late_events(spark, tmpdir_path):
         checkpoint=os.path.join(tmpdir_path, "ckpt"),
         quarantine=(qpath, 600),
     )
-    q = spark.read.parquet(qpath)
+    from embulk_filter_copy_spark.cdc.apply import read_quarantine
+
+    q = read_quarantine(spark, qpath)
     assert q.count() == 1 and q.first()["repo"] == "late/r"
     assert t.read().filter("repo = 'late/r'").count() == 0
     _parity(t, base, ev)  # oracle over the non-late events only
@@ -239,18 +241,20 @@ def test_all_late_epoch_gated_on_redelivery(spark, tmpdir_path):
         "lsn", F.col("lsn") + F.lit(10_000_000))
     r1 = apply_batch(t, late, run_id="late", epoch=1, quarantine=(qpath, 600))
     assert r1["quarantined"] == late.count()
-    n_quarantined = spark.read.parquet(qpath).count()
+    from embulk_filter_copy_spark.cdc.apply import read_quarantine
+
+    n_quarantined = read_quarantine(spark, qpath).count()
     # redeliver the same epoch: manifest skip, quarantine unchanged
     r2 = apply_batch(t, late, run_id="late", epoch=1, quarantine=(qpath, 600))
     assert r2.get("skipped") is True
-    assert spark.read.parquet(qpath).count() == n_quarantined
+    assert read_quarantine(spark, qpath).count() == n_quarantined
 
 
 def test_multi_sink_quarantine_shared_path(spark, tmpdir_path):
-    """Two concurrent sinks quarantining into ONE path: the serialized
-    append must not corrupt the directory (overlapping Spark jobs used to
-    race on _temporary/), and each sink contributes its copy of the late
-    rows."""
+    """Two concurrent sinks quarantining into ONE path: each (sink, epoch)
+    writes its own deterministic directory (no shared _temporary/, no lock
+    — safe even across separate driver processes), and each sink
+    contributes its copy of the late rows."""
     from embulk_filter_copy_spark.cdc.splitter import SinkSpec
 
     base = gen_repo_files(spark, 40, seed=17)
@@ -273,10 +277,52 @@ def test_multi_sink_quarantine_shared_path(spark, tmpdir_path):
         spark, log, sinks, checkpoint=os.path.join(tmpdir_path, "ck"),
         quarantine=(qpath, 600),
     )
-    q = spark.read.parquet(qpath)
+    from embulk_filter_copy_spark.cdc.apply import read_quarantine
+
+    q = read_quarantine(spark, qpath)
     # one late row, quarantined once per sink (each sink applies its own
     # transformed batch), all rows intact
     assert q.count() == 2 and q.filter("repo = 'late/r'").count() == 2
     for name in ("s1", "s2"):
         t = LakeTable.load(spark, os.path.join(tmpdir_path, name))
         assert t.read().filter("repo = 'late/r'").count() == 0
+
+
+def test_quarantine_write_is_idempotent_per_epoch(spark, tmpdir_path):
+    """The crash window the old append could not survive: a rerun of the
+    SAME (run, epoch, sink) quarantine write (crash after the write, before
+    the epoch commit) must overwrite, not duplicate — and a DIFFERENT epoch
+    must land beside it."""
+    from embulk_filter_copy_spark.cdc.apply import read_quarantine, write_quarantine
+
+    late = gen_change_events(spark, 10, 20, seed=23)
+    qpath = os.path.join(tmpdir_path, "q")
+    write_quarantine(late, qpath, "r1", 1, "sinkaaaa")
+    write_quarantine(late, qpath, "r1", 1, "sinkaaaa")  # replayed epoch
+    assert read_quarantine(spark, qpath).count() == late.count()
+    write_quarantine(late, qpath, "r1", 2, "sinkaaaa")  # next epoch
+    assert read_quarantine(spark, qpath).count() == 2 * late.count()
+
+
+def test_quarantine_unchanged_across_injected_crash_resume(spark, tmpdir_path):
+    """Streaming crash + restart with quarantine enabled: the redelivered
+    epoch is manifest-skipped and the quarantine row count is unchanged."""
+    from embulk_filter_copy_spark.cdc.apply import read_quarantine
+
+    t, base = _bootstrap(spark, tmpdir_path, n_base=40, seed=29)
+    ev = gen_change_events(spark, 40, 150, seed=29)
+    one_late = spark.createDataFrame(
+        [(99999, None, "I", "late/r", "p", "c", "py", "late", None)], DDL
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_767_225_600 - 7200)))
+    log = os.path.join(tmpdir_path, "log")
+    ev.unionByName(one_late).coalesce(1).write.parquet(log)
+    qpath = os.path.join(tmpdir_path, "q")
+    ck = os.path.join(tmpdir_path, "ck")
+    replay_stream(spark, log, os.path.join(tmpdir_path, "tbl"), checkpoint=ck,
+                  quarantine=(qpath, 600), fail_after_epoch=0)
+    n_q = read_quarantine(spark, qpath).count()
+    assert n_q >= 1
+    res = replay_stream(spark, log, os.path.join(tmpdir_path, "tbl"),
+                        checkpoint=ck, quarantine=(qpath, 600))
+    assert read_quarantine(spark, qpath).count() == n_q
+    assert all(r.get("skipped") or r["rows_applied"] == 0 for r in res)
