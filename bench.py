@@ -51,6 +51,9 @@ SCALE_LEVELS = tuple(
 )
 SCALE_TRIALS = int(os.environ.get("EFC_SCALE_TRIALS", "4"))
 HEADLINE_TRIALS = int(os.environ.get("EFC_HEADLINE_TRIALS", "4"))
+# 4 trials (was 2): the recorded fan-out baseline is a median-protocol
+# number; 2 trials gave the driver no spread to ride out host-load waves
+FANOUT_TRIALS = int(os.environ.get("EFC_FANOUT_TRIALS", "4"))
 # C2 needs several FULL passes of the merge pipeline; 200k-event warmups left
 # the first real trial 3-4x under steady state, dragging the median down
 WARMUP_EVENTS = int(os.environ.get("EFC_WARMUP_EVENTS", "600000"))
@@ -207,6 +210,77 @@ def fanout_throughput(spark, n_base: int, n_events: int, workdir: str) -> dict:
     }
 
 
+def maintenance_throughput(spark, n_base: int, n_events: int, workdir: str) -> dict:
+    """Change feed + background maintenance numbers: at 100 TB these jobs
+    compete with ingest for the cluster, so they get throughput lines too.
+
+      * ``changes``: a chained replay-via-feed — replay events into table A
+        (merge-on-read), read A's incremental change feed, apply it to
+        table B through the normal merge path; changed-rows/sec end to end.
+      * ``compact``: fold A's MOR delta files back into base files.
+      * ``rescale``: rewrite B under 2x the bucket count (the growth knob).
+    """
+    from pyspark.sql import functions as F
+
+    from embulk_filter_copy_spark.cdc.apply import apply_batch
+    from embulk_filter_copy_spark.cdc.replayer import replay_batch
+    from embulk_filter_copy_spark.fixtures import REPO_FILES_SCHEMA
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    input_dir = os.path.join(WORKROOT, "headline-input")
+    _prepare_input(spark, n_base, n_events, input_dir)
+    base = spark.read.parquet(os.path.join(input_dir, "base"))
+    events = spark.read.parquet(os.path.join(input_dir, "events"))
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    src = LakeTable.create(
+        spark, os.path.join(workdir, "src"), REPO_FILES_SCHEMA,
+        key_columns=["repo", "path"], n_buckets=2 * CPUS,
+    )
+    src.append(base.withColumn("_lsn", F.lit(0)))
+    feed_since = src.current_version()
+    replay_batch(spark, events, src, run_id="maint", n_epochs=1, merge_mode="mor")
+
+    dst = LakeTable.create(
+        spark, os.path.join(workdir, "dst"), REPO_FILES_SCHEMA,
+        key_columns=["repo", "path"], n_buckets=2 * CPUS,
+    )
+    dst.append(base.withColumn("_lsn", F.lit(0)))
+    t0 = time.time()
+    feed = src.read_changes(since_version=feed_since)
+    # the feed is already per-key LWW-reduced — dedup would be a no-op shuffle
+    res = apply_batch(dst, feed, run_id="feed", epoch=0, dedup="skip")
+    feed_dur = max(time.time() - t0, 1e-9)
+
+    t0 = time.time()
+    comp = src.compact()
+    compact_dur = max(time.time() - t0, 1e-9)
+
+    t0 = time.time()
+    resc = dst.rescale_buckets(4 * CPUS)
+    rescale_dur = max(time.time() - t0, 1e-9)
+    return {
+        "changes": {
+            "rows_applied": res["rows_applied"],
+            "duration_sec": round(feed_dur, 2),
+            "changed_rows_per_sec": round(res["rows_applied"] / feed_dur, 1),
+        },
+        "compact": {
+            "rows": comp.get("rows", 0),
+            "files_before": comp.get("files_before", 0),
+            "files_after": comp.get("files_after", 0),
+            "duration_sec": round(compact_dur, 2),
+            "rows_per_sec": round(comp.get("rows", 0) / compact_dur, 1),
+        },
+        "rescale": {
+            "rows": resc["rows"],
+            "n_buckets": resc["n_buckets"],
+            "duration_sec": round(rescale_dur, 2),
+            "rows_per_sec": round(resc["rows"] / rescale_dur, 1),
+        },
+    }
+
+
 def run_queries(spark) -> dict:
     from embulk_filter_copy_spark.queries import ALL_QUERIES
 
@@ -314,7 +388,7 @@ def main() -> None:
     replay_mor["median_events_per_sec"] = _median(mor_trials)
     fanout = None
     fanout_trials: list[float] = []
-    for trial in range(2):
+    for trial in range(FANOUT_TRIALS):
         f = fanout_throughput(
             spark, BENCH_BASE_ROWS, BENCH_EVENTS,
             os.path.join(workroot, f"fanout-t{trial}"),
@@ -323,6 +397,13 @@ def main() -> None:
         if fanout is None or f["events_per_sec"] > fanout["events_per_sec"]:
             fanout = f
     fanout["trials_events_per_sec"] = fanout_trials
+    fanout["median_events_per_sec"] = _median(fanout_trials)
+    fanout["median_sink_applies_per_sec"] = round(
+        fanout["sinks"] * fanout["median_events_per_sec"], 1
+    )
+    maintenance = maintenance_throughput(
+        spark, BENCH_BASE_ROWS, BENCH_EVENTS, os.path.join(workroot, "maint")
+    )
     queries = run_queries(spark)
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         # pre-generate the scaling input at full parallelism — the first
@@ -374,6 +455,7 @@ def main() -> None:
         "replay": replay,
         "replay_mor": replay_mor,
         "fanout": fanout,
+        "maintenance": maintenance,
         "scaling": scaling,
     }
     print(json.dumps(out))

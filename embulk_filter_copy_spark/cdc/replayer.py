@@ -314,20 +314,29 @@ def replay_batch(
         # (one less serial job; empty input degenerates to a 0-row epoch)
         return [apply_batch(table, events, run_id=run_id, epoch=0, dedup=dedup,
                             n_salts=n_salts, merge_mode=merge_mode)]
-    bounds = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
-    lo, hi = bounds[0], bounds[1]
-    results = []
-    if lo is None:
-        return results
-    span = (hi - lo + 1) / n_epochs
-    for e in range(n_epochs):
-        e_lo = lo + int(e * span)
-        e_hi = lo + int((e + 1) * span) if e < n_epochs - 1 else hi + 1
-        chunk = events.filter((F.col("lsn") >= e_lo) & (F.col("lsn") < e_hi))
-        results.append(
-            apply_batch(
-                table, chunk, run_id=run_id, epoch=e, dedup=dedup,
-                n_salts=n_salts, merge_mode=merge_mode,
+    # multi-epoch: materialize the log once so the per-epoch LSN filters
+    # re-read the cache instead of re-scanning the source n_epochs times
+    # (on a cluster the equivalent is an LSN-sorted one-pass split —
+    # repartitionByRange(lsn) + per-range writes; at microbatch scale the
+    # cache is the same shape with less machinery)
+    events = events.persist()
+    try:
+        bounds = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+        lo, hi = bounds[0], bounds[1]
+        results = []
+        if lo is None:
+            return results
+        span = (hi - lo + 1) / n_epochs
+        for e in range(n_epochs):
+            e_lo = lo + int(e * span)
+            e_hi = lo + int((e + 1) * span) if e < n_epochs - 1 else hi + 1
+            chunk = events.filter((F.col("lsn") >= e_lo) & (F.col("lsn") < e_hi))
+            results.append(
+                apply_batch(
+                    table, chunk, run_id=run_id, epoch=e, dedup=dedup,
+                    n_salts=n_salts, merge_mode=merge_mode,
+                )
             )
-        )
-    return results
+        return results
+    finally:
+        events.unpersist()
