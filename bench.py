@@ -49,7 +49,10 @@ SCALE_BASE_ROWS = int(os.environ.get("EFC_SCALE_BASE_ROWS", "400000"))
 SCALE_LEVELS = tuple(
     int(x) for x in os.environ.get("EFC_SCALE_LEVELS", "2,8").split(",")
 )
-SCALE_TRIALS = int(os.environ.get("EFC_SCALE_TRIALS", "4"))
+# 5 trials (was 4): a round-3 recording run's 8-core trials were still
+# climbing at trial 4 ([66k, 214k, 389k, 429k]) — one more trial per level
+# costs ~1 min and keeps best-of-K honest about steady state
+SCALE_TRIALS = int(os.environ.get("EFC_SCALE_TRIALS", "5"))
 HEADLINE_TRIALS = int(os.environ.get("EFC_HEADLINE_TRIALS", "4"))
 # 4 trials (was 2): the recorded fan-out baseline is a median-protocol
 # number; 2 trials gave the driver no spread to ride out host-load waves

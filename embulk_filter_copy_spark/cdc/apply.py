@@ -63,9 +63,15 @@ def write_quarantine(
 
 
 def read_quarantine(spark, qpath: str) -> DataFrame:
-    """All quarantined rows across runs/epochs/sinks — drops the ``qpart``
-    partition column the per-writer layout introduces."""
-    return spark.read.parquet(qpath).drop("qpart")
+    """All quarantined rows across runs/epochs/sinks. ``recursiveFileLookup``
+    reads the data files at ANY directory depth — the current ``qpart=``
+    layout, a pre-upgrade flat-append layout, or a mix of both (partition
+    discovery would raise 'conflicting directory structures' on the mix);
+    it disables partition-column inference, so the synthetic ``qpart``
+    column never materializes (the drop is a compatibility no-op)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(qpath).drop("qpart")
+    )
 
 
 def _sink_id(table: LakeTable) -> str:
@@ -415,7 +421,14 @@ def apply_batch(
                 quarantined = late.count()
                 if quarantined:
                     write_quarantine(late, qpath, run_id, epoch, _sink_id(table))
-                    data = data.filter(_ts_epoch() >= F.lit(threshold))
+                    # NULL event time is 'unknown', not 'late': both the <
+                    # and >= predicates are NULL for it, so a bare >= filter
+                    # would silently drop the row from BOTH branches. Keep
+                    # null-ts rows on the data side — LSN ordering (the real
+                    # merge key) still governs them
+                    data = data.filter(
+                        (_ts_epoch() >= F.lit(threshold)) | _ts_epoch().isNull()
+                    )
             finally:
                 late.unpersist()
 

@@ -396,9 +396,17 @@ def connected_components_star(
     Same signature and output as :func:`connected_components`, so callers
     (and the recursive-CTE oracle) swap freely; prefer this variant when
     components may be long chains rather than shallow near-dup clusters."""
+    # restrict the graph to known nodes up front — label propagation only
+    # flows through rows of ``nodes``, so an edge endpoint absent from it
+    # must not bridge two components here either (contract parity: both
+    # variants return identical clusters for the same inputs)
+    known_u = nodes.select(F.col(node_col).alias("u")).distinct()
+    known_v = known_u.select(F.col("u").alias("v"))
     E = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
+        .join(known_u, "u", "semi")
+        .join(known_v, "v", "semi")
         .distinct()
         .localCheckpoint()
     )
@@ -429,16 +437,19 @@ def connected_components_star(
         )
 
     converged = E.isEmpty()
+    prev_n = None  # |E| carried across rounds: last round's new_e.count()
     for _ in range(max_rounds):
         if converged:
             break
         new_e = small_star(large_star(E)).localCheckpoint()
-        # structural set-equality: equal counts + empty difference
-        if (
-            new_e.count() == E.count()
-            and new_e.subtract(E).isEmpty()
-        ):
+        # structural set-equality: equal counts + empty difference (the
+        # old count is reused from the previous round's action — counting
+        # a checkpointed frame twice would be one wasted job per round)
+        n_new = new_e.count()
+        n_old = prev_n if prev_n is not None else E.count()
+        if n_new == n_old and new_e.subtract(E).isEmpty():
             converged = True
+        prev_n = n_new
         E = new_e
     if not converged:
         raise RuntimeError(

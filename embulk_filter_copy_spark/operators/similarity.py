@@ -149,6 +149,12 @@ def _assign_cells_join(
             F.col("cent_id").cast("int").alias("cell"),
         ).alias("_sc"),
     )
+    # a NULL cosine (NULL vector, or dimension mismatch vs the centroids —
+    # zip_with pads with NULL elements) must not reach the argmax: a struct
+    # with neg=NULL sorts FIRST under min(), so the row would silently win
+    # cell 0. Dropping it instead leaves the row with no best-cell match and
+    # the trailing coalesce assigns -1 — the literal path's behavior
+    scored = scored.filter(F.col("_sc.neg").isNotNull())
     if nprobe == 1:
         # struct min = (max cosine, lowest cell on ties); partial-aggregated
         # map-side, so the shuffle carries one tiny struct per row

@@ -167,6 +167,59 @@ def test_all_late_batch_quarantined_via_high_water_mark(spark, tmpdir_path):
     assert r1["rows_applied"] == 0
 
 
+def test_null_ts_event_survives_quarantine_split(spark, tmpdir_path):
+    """A NULL event time is 'unorderable', not 'late': both `< threshold`
+    and `>= threshold` evaluate to NULL for it, so a bare >= data filter
+    silently dropped the row from BOTH branches — neither merged nor
+    quarantined (CDC data loss). It must flow to the merge side; LSN
+    ordering (the real merge key) still governs it."""
+    from embulk_filter_copy_spark.cdc.apply import apply_batch, read_quarantine
+
+    t, base = _bootstrap(spark, tmpdir_path, n_base=30, seed=15)
+    ev = gen_change_events(spark, 30, 100, seed=15)
+    extra = spark.createDataFrame(
+        [
+            (9_999_998, None, "I", "late/r", "p", "c", "py", "late-body", None),
+            (9_999_999, None, "I", "null-ts/r", "p", "c", "py", "null-ts-body", None),
+        ],
+        DDL,
+    )
+    # one genuinely-late row (triggers the quarantine re-filter) + one NULL-ts row
+    extra = extra.withColumn(
+        "ts",
+        F.when(F.col("repo") == "late/r",
+               F.timestamp_seconds(F.lit(1_767_225_600 - 7200))),
+    )
+    qpath = os.path.join(tmpdir_path, "q")
+    r = apply_batch(t, ev.unionByName(extra), run_id="nts", epoch=0,
+                    quarantine=(qpath, 600))
+    assert r["quarantined"] == 1
+    assert read_quarantine(spark, qpath).first()["repo"] == "late/r"
+    assert t.read().filter("repo = 'null-ts/r'").count() == 1
+    assert t.read().filter("repo = 'late/r'").count() == 0
+
+
+def test_read_quarantine_tolerates_legacy_flat_layout(spark, tmpdir_path):
+    """A quarantine root carrying BOTH pre-upgrade flat part files and the
+    current per-(run,epoch,sink) `qpart=` subdirectories must stay readable:
+    partition discovery raises 'conflicting directory structures' on mixed
+    depths, so read_quarantine uses recursiveFileLookup instead."""
+    from embulk_filter_copy_spark.cdc.apply import read_quarantine, write_quarantine
+
+    qpath = os.path.join(tmpdir_path, "q")
+    legacy = spark.createDataFrame(
+        [(1, None, "I", "old/r", "p", "c", "py", "b", None)], DDL
+    )
+    legacy.coalesce(1).write.mode("append").parquet(qpath)  # old flat layout
+    fresh = spark.createDataFrame(
+        [(2, None, "I", "new/r", "p", "c", "py", "b", None)], DDL
+    )
+    write_quarantine(fresh, qpath, "run", 0, "sinkA")
+    got = read_quarantine(spark, qpath)
+    assert {r["repo"] for r in got.collect()} == {"old/r", "new/r"}
+    assert "qpart" not in got.columns
+
+
 def test_partial_sink_failure_resumes_only_missing_sink(spark, tmpdir_path):
     """Concurrent fan-out + per-sink manifests: if one sink's merge job
     fails after a sibling committed, the restart must skip the committed
