@@ -1,0 +1,119 @@
+"""Deterministic corpus-selection operators: hash sampling, stratified
+sampling, and token-budget sequence packing.
+
+A training-data pipeline rarely trains on the whole lake: it samples
+(uniformly or per-source quotas) and then packs documents into fixed
+token-budget training sequences. All three operators here are DETERMINISTIC
+functions of the data — re-running a 100 TB selection job must reproduce the
+same byte-identical corpus (the same property the CDC side gets from LSN
+replay), so none of them uses `rand()`:
+
+  * `sample_by_hash` — Bernoulli over a portable 60-bit md5 hash of the key:
+    a pure per-row filter (no shuffle, no state), pushed to the scan, and
+    any engine (the DuckDB oracle included) reproduces the exact row set.
+  * `stratified_sample` — per-group top-n in hash order: one shuffle keyed
+    on the group column; hash order makes the per-group pick uniform AND
+    stable. For pathologically hot groups, pre-thin with `sample_by_hash`
+    at ~2-4x the target rate first so the window sees a bounded group.
+  * `pack_sequences` — blocked packing: pack id = floor(exclusive running
+    token sum / budget) within each group, i.e. the distributed
+    approximation of greedy first-fit (a pack may overflow its budget by at
+    most one document; no pack is underfull except the last per group).
+    Exact greedy packing is inherently sequential — on a cluster this
+    per-group window (one shuffle on the group key) is the shape that
+    scales, and the overflow bound is the accepted cost.
+
+The reference has no sampling surface (its pipeline copies everything —
+`BreakinBulkLoader.scala` fans pages out unfiltered); these generalize its
+per-branch `filter` hook into the selection stage an LLM corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.queries.common import spark_phash
+
+# Bernoulli granularity: fraction is quantized to 1e-6 (documented — the
+# oracle must use the same modulus)
+HASH_MOD = 1_000_000
+
+
+def sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample:",
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows: row survives iff
+    ``phash(salt || key) mod 1e6 < fraction * 1e6``. Pure narrow filter —
+    no shuffle, no driver state, trivially parallel at any scale; distinct
+    ``salt`` values give independent samples (e.g. train/held-out splits
+    from one pass)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thr = int(round(fraction * HASH_MOD))
+    return df.filter(
+        F.expr(f"pmod({spark_phash(key_col, salt)}, {HASH_MOD})") < F.lit(thr)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key_col: str,
+    salt: str = "strat:",
+) -> DataFrame:
+    """Deterministic n-per-group sample: rank rows inside each group by
+    (hash of key, key) and keep the first ``n_per_group``. Hash order makes
+    the pick uniform over the group; the key tiebreak makes it total, so
+    the result is replayable. One shuffle (on ``group_col``); groups are
+    processed independently, so skew is bounded by the hottest group — see
+    the module docstring for the pre-thinning pattern."""
+    if n_per_group < 0:
+        raise ValueError(f"n_per_group must be >= 0, got {n_per_group}")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.expr(spark_phash(key_col, salt)), F.col(key_col))
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document a training-sequence ``pack_id`` so consecutive
+    docs (by ``id_col`` within ``group_col``) fill ~``budget`` tokens per
+    pack: ``pack_id = floor(exclusive_cumsum(n_tok) / budget)``.
+
+    Blocked packing, not exact first-fit: a pack can overflow by at most
+    its last document (bounded waste), in exchange for being ONE window
+    over a single group-keyed shuffle — exact greedy packing needs a
+    sequential scan per group, which at 10^10 docs is the wrong trade.
+    If ``tokens_col`` is None, whitespace token counts are computed on the
+    fly (JVM-side split, matching `text.token_stats`)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if tokens_col is None:
+        df = df.withColumn("n_tok", F.size(F.split(F.col(text_col), " ")))
+        tokens_col = "n_tok"
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn(
+        "pack_id", F.floor(excl / F.lit(budget)).cast("long")
+    )

@@ -83,6 +83,76 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# (name, pattern, replacement) — patterns restricted to syntax Java regex
+# and RE2 (the DuckDB oracle) interpret identically: character classes,
+# bounded repetition, \d, \b. Applied in list order; counts are taken on the
+# ORIGINAL text so replacement order can't hide a category.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Deterministic PII scrubbing: emails / IPv4s / dash-phone-numbers →
+    typed placeholder tokens, plus per-category match counts. Pure
+    `regexp_replace`/`regexp_count` built-ins — a narrow per-row map, no
+    shuffle, codegen'd JVM regex; at 100 TB this runs at scan speed and the
+    counts aggregate map-side. (A production scrubber swaps in its own
+    pattern table; the operator shape — ordered replace chain + audit
+    counts on the pre-image — is the part that matters.)"""
+    out = df
+    clean = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        clean = F.regexp_replace(clean, pat, repl)
+    return out.withColumn(out_col, clean)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features per document: the fraction of
+    tokens taken by the single most-frequent unigram / bigram. High values
+    flag degenerate, loop-generated, or boilerplate text.
+
+    Distributed shape: explode n-grams → count per (doc, gram) → max/sum
+    per doc — every aggregation partial-combines map-side, and the shuffle
+    carries (doc, gram, count) rows, never document text. (The
+    array-expression alternative — counting inside one row — is O(distinct
+    × n) per document and caps at the 2 GB row limit for giant docs; the
+    explode shape has neither problem.)"""
+    toks = f"split({text_col}, ' ')"
+    # sequence(0, -1) would yield [0, -1] (negative step inference), so the
+    # bigram arm is guarded for 1-token docs
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                # unigrams ++ bigrams, tagged by arity
+                f"concat(transform({toks}, t -> struct(1 as n, t as g)),"
+                f" if(size({toks}) < 2, array(),"
+                f"  transform(sequence(0, size({toks}) - 2),"
+                f"   i -> struct(2 as n, concat({toks}[i], ' ', {toks}[i + 1]) as g))))"
+            )
+        ).alias("ng"),
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    counted = grams.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    per_doc = counted.groupBy(id_col, "n").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+    )
+    # full-precision ratios: one division over exact integer counts is
+    # bit-identical on any engine — rounding policy stays with callers
+    frac = F.col("top_c") / F.col("total_c")
+    return per_doc.groupBy(id_col).agg(
+        F.max(F.when(F.col("n") == 1, frac)).alias("top_token_frac"),
+        F.max(F.when(F.col("n") == 2, frac)).alias("top_bigram_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Winnowing-lite document fingerprint: min portable-hash over word
     3-gram shingles (rolling-hash family); equal fingerprints = candidate

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from embulk_filter_copy_spark.operators import dedup as D
 from embulk_filter_copy_spark.operators import multimodal as M
+from embulk_filter_copy_spark.operators import sampling as SA
 from embulk_filter_copy_spark.operators import similarity as S
 from embulk_filter_copy_spark.operators import text as TX
 from embulk_filter_copy_spark.queries.common import duck_phash, reps, t
@@ -622,6 +623,254 @@ FROM s, range(8) t(i)
 """
 
 
+# ------------------------------------------------------------- sampling
+def sample_docs_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% Bernoulli corpus sample (portable-hash filter —
+    narrow, shuffle-free, pushes to the scan)."""
+    return SA.sample_by_hash(t(spark, sf_dir, "documents"), "doc_id", 0.25).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+SAMPLE_HASH_SQL = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE ({duck_phash("doc_id", "sample:")} % 1000000) < 250000
+"""
+
+
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source stratified sample (hash-order top-n)."""
+    return SA.stratified_sample(
+        t(spark, sf_dir, "documents"), "source", 5, "doc_id"
+    ).select("doc_id", "source")
+
+
+SAMPLE_STRAT_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {duck_phash("doc_id", "strat:")}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 5
+"""
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked token-budget packing: pack_id = floor(exclusive running
+    token sum / 256) per source (distributed first-fit approximation)."""
+    out = SA.pack_sequences(t(spark, sf_dir, "documents"), 256)
+    return out.select(
+        "doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"), "pack_id"
+    )
+
+
+PACK_SEQ_SQL = """
+SELECT doc_id, source, n_tok,
+       CAST(floor(COALESCE(SUM(n_tok) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+            AS BIGINT) AS pack_id
+FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents)
+"""
+
+
+# ------------------------------------------------------------- pii scrub
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject deterministic synthetic PII (the corpus has none), scrub it
+    with the regexp chain, and return per-category counts + a digest of the
+    cleaned text."""
+    did = F.col("doc_id")
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(" contact user"), did, F.lit("@example.com"))
+                   ).otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" host 10.0."), (did % 250), F.lit(".1"))
+                   ).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        ),
+    )
+    out = TX.scrub_pii(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+SCRUB_PII_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' host 10.0.' || (doc_id % 250) || '.1' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+            '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5
+FROM injected
+"""
+
+
+# ------------------------------------------------------------- repetition
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source aggregates of the Gopher-style top-unigram / top-bigram
+    repetition fractions."""
+    docs = t(spark, sf_dir, "documents")
+    rep = TX.repetition_stats(docs)
+    joined = rep.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        reps(F.avg("top_token_frac"), 4).alias("avg_top_token_frac"),
+        reps(F.avg("top_bigram_frac"), 4).alias("avg_top_bigram_frac"),
+        reps(F.max("top_token_frac"), 4).alias("max_top_token_frac"),
+    )
+
+
+REPETITION_SQL = """
+WITH uni AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+ud AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_token_frac FROM uni GROUP BY 1),
+bg AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    WHERE len(tk) >= 2)
+  GROUP BY 1, 2
+),
+bd AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM bg GROUP BY 1),
+j AS (
+  SELECT d.source, ud.top_token_frac, bd.top_bigram_frac
+  FROM documents d JOIN ud USING (doc_id) LEFT JOIN bd USING (doc_id)
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(top_token_frac) + 1e-9, 4) AS avg_top_token_frac,
+       round(avg(top_bigram_frac) + 1e-9, 4) AS avg_top_bigram_frac,
+       round(max(top_token_frac) + 1e-9, 4) AS max_top_token_frac
+FROM j GROUP BY source
+"""
+
+
+# ------------------------------------------- incremental signature upkeep
+def dedup_incremental_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-signature maintenance via the change feed — the
+    100 TB shape: when documents change, recompute MinHash signatures ONLY
+    for the changed keys and merge them into a persistent signature table,
+    instead of re-sketching the whole corpus.
+
+    Flow: documents → lake table (bootstrap) + initial signature table;
+    a deterministic update batch (doc_id%7==0 → text||' updated',
+    doc_id%13==0 → delete) replayed through the merge; `read_changes`
+    yields the net per-key feed (per-file LSN pruning, no full scan);
+    signatures recomputed for feed upserts only; deletes tombstone the
+    signature rows through the same merge path. The oracle is the FULL
+    recompute over the final document state — incremental == full is
+    exactly the invariant this maintenance job must keep."""
+    import tempfile
+
+    from embulk_filter_copy_spark.cdc.apply import apply_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    k = 8
+    mh_cols = [f"mh{i}" for i in range(k)]
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="efc-incsig-")
+    doc_table = LakeTable.create(
+        spark, f"{root}/docs", [("doc_id", "long"), ("text", "string")],
+        key_columns=["doc_id"], n_buckets=8,
+    )
+    doc_table.append(docs.withColumn("_lsn", F.lit(0)))
+    sig_table = LakeTable.create(
+        spark, f"{root}/sigs",
+        [("doc_id", "long")] + [(c, "long") for c in mh_cols],
+        key_columns=["doc_id"], n_buckets=8,
+    )
+    sig_table.append(
+        D.minhash_signatures(docs, k=k).withColumn("_lsn", F.lit(0))
+    )
+    v0 = doc_table.current_version()
+
+    did = F.col("doc_id")
+    env_null = F.lit(None).cast("string").alias("schema_change")
+    upd = docs.filter((did % 7 == 0) & (did % 13 != 0)).select(
+        (did + 1000).alias("lsn"),
+        F.timestamp_micros(did + 1000).alias("ts"),
+        F.lit("U").alias("op"),
+        "doc_id",
+        F.concat("text", F.lit(" updated")).alias("text"),
+        env_null,
+    )
+    dels = docs.filter(did % 13 == 0).select(
+        (did + 1_000_000).alias("lsn"),
+        F.timestamp_micros(did + 1_000_000).alias("ts"),
+        F.lit("D").alias("op"),
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        env_null,
+    )
+    apply_batch(doc_table, upd.unionByName(dels), run_id="inc-docs", epoch=0)
+
+    feed = doc_table.read_changes(since_version=v0)
+    ups = feed.filter(F.col("op") == "U").select("doc_id", "text", "lsn", "ts")
+    new_sigs = D.minhash_signatures(ups, k=k).join(
+        ups.select("doc_id", "lsn", "ts"), "doc_id"
+    )
+    sig_upserts = new_sigs.select(
+        "lsn", "ts", F.lit("U").alias("op"), "doc_id", *mh_cols, env_null
+    )
+    sig_deletes = feed.filter(F.col("op") == "D").select(
+        "lsn", "ts", F.lit("D").alias("op"), "doc_id",
+        *[F.lit(None).cast("long").alias(c) for c in mh_cols], env_null,
+    )
+    apply_batch(
+        sig_table, sig_upserts.unionByName(sig_deletes), run_id="inc-sigs", epoch=0
+    )
+    return sig_table.read().select("doc_id", *mh_cols)
+
+
+def _inc_sig_sql(k: int = 8) -> str:
+    mins = ",\n       ".join(
+        f"min({duck_phash('tok', f'mh{i}:')}) AS mh{i}" for i in range(k)
+    )
+    return f"""
+WITH final_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+),
+tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM final_docs)
+  WHERE tok <> ''
+)
+SELECT doc_id, {mins} FROM tok GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, _minhash_sig_sql(8)),
@@ -645,4 +894,10 @@ QUERIES = {
     "text_fingerprint_stats": (text_fingerprint_stats, TEXT_FP_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEAT_SQL),
+    "sample_docs_by_hash": (sample_docs_by_hash, SAMPLE_HASH_SQL),
+    "sample_stratified_docs": (sample_stratified_docs, SAMPLE_STRAT_SQL),
+    "pack_training_sequences": (pack_training_sequences, PACK_SEQ_SQL),
+    "text_scrub_pii": (text_scrub_pii, SCRUB_PII_SQL),
+    "text_repetition_stats": (text_repetition_stats, REPETITION_SQL),
+    "dedup_incremental_signatures": (dedup_incremental_signatures, _inc_sig_sql(8)),
 }

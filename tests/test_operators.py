@@ -368,6 +368,27 @@ def test_assign_cells_auto_switches_and_requires_id(synth_emb):
     assert out.count() == 120
 
 
+def test_assign_cells_join_null_and_mismatched_vectors(spark, synth_emb):
+    """NULL vectors and dimension-mismatched vectors (zip_with pads with
+    NULL elements → NULL cosine) must get cell -1 on the join path too: a
+    struct with neg=NULL sorts FIRST under min(), so without the null-score
+    filter such rows silently won cell 0 — a literal/join divergence that
+    flipped results when method='auto' crossed INLINE_CELLS_MAX."""
+    bad = spark.createDataFrame(
+        [(1000, None), (1001, [1.0, 0.0])],  # NULL vec; 2-dim vs 4-dim centroids
+        "vec_id long, embedding array<float>",
+    )
+    mixed = synth_emb.unionByName(bad)
+    cents = S.ivf_centroids(synth_emb, 8)
+    base = mixed.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    lit = {r["_id"]: r["cell"] for r in
+           S.assign_cells(base, cents, 8, "_v", method="literal").collect()}
+    jn = {r["_id"]: r["cell"] for r in
+          S.assign_cells(base, cents, 8, "_v", id_col="_id", method="join").collect()}
+    assert lit == jn
+    assert jn[1000] == -1 and jn[1001] == -1
+
+
 def test_assign_cells_join_empty_centroids(spark, synth_emb):
     empty = spark.createDataFrame([], "cent_id int, cent_v array<float>")
     base = synth_emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
@@ -470,6 +491,19 @@ def test_star_components_converge_on_long_chain(spark):
     assert set(got.values()) == {1} and len(got) == 300
 
 
+def test_star_components_ignore_unknown_pair_endpoints(spark):
+    """Pairs may reference docs filtered out of `nodes`; label propagation
+    never flows through such phantom endpoints, so star contraction must
+    not bridge components through them either (contract: both variants
+    return identical clusters for identical inputs)."""
+    pairs = spark.createDataFrame([(2, 1), (2, 3)], "a long, b long")
+    nodes = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    lp = {r["doc_id"]: r["comp"] for r in D.connected_components(pairs, nodes).collect()}
+    st = {r["doc_id"]: r["comp"]
+          for r in D.connected_components_star(pairs, nodes).collect()}
+    assert lp == st == {1: 1, 3: 3}
+
+
 def test_star_components_string_ids_and_no_edges(spark):
     pairs = spark.createDataFrame([("d1", "d2"), ("d2", "d3")], "a string, b string")
     nodes = spark.createDataFrame([("d1",), ("d2",), ("d3",), ("z",)], "doc_id string")
@@ -481,3 +515,91 @@ def test_star_components_string_ids_and_no_edges(spark):
     got2 = {r["doc_id"]: r["comp"]
             for r in D.connected_components_star(empty, n2).collect()}
     assert got2 == {3: 3, 9: 9}
+
+
+# ------------------------------------------------------- sampling / packing
+def test_sample_by_hash_deterministic_and_nested(spark):
+    from embulk_filter_copy_spark.operators import sampling as SA
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(400)],
+                               "doc_id long, text string")
+    s25 = {r["doc_id"] for r in SA.sample_by_hash(df, "doc_id", 0.25).collect()}
+    s50 = {r["doc_id"] for r in SA.sample_by_hash(df, "doc_id", 0.50).collect()}
+    again = {r["doc_id"] for r in SA.sample_by_hash(df, "doc_id", 0.25).collect()}
+    assert s25 == again                      # deterministic replay
+    assert s25 <= s50                        # thresholds nest (same hash)
+    assert 0.15 < len(s25) / 400 < 0.35      # roughly the asked fraction
+    other = {r["doc_id"] for r in
+             SA.sample_by_hash(df, "doc_id", 0.25, salt="other:").collect()}
+    assert other != s25                      # independent split per salt
+    assert SA.sample_by_hash(df, "doc_id", 0.0).count() == 0
+    assert SA.sample_by_hash(df, "doc_id", 1.0).count() == 400
+    with pytest.raises(ValueError, match="fraction"):
+        SA.sample_by_hash(df, "doc_id", 1.5)
+
+
+def test_stratified_sample_per_group_counts(spark):
+    from embulk_filter_copy_spark.operators import sampling as SA
+
+    rows = [(i, f"g{i % 3}" if i < 30 else "tiny") for i in range(32)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = SA.stratified_sample(df, "grp", 4, "doc_id").collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert all(len(v) == 4 for g, v in by_grp.items() if g != "tiny")
+    assert len(by_grp["tiny"]) == 2          # group smaller than n keeps all
+    again = SA.stratified_sample(df, "grp", 4, "doc_id").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_matches_reference_blocking(spark):
+    from embulk_filter_copy_spark.operators import sampling as SA
+
+    rows = [
+        ("g1", 0, 100), ("g1", 1, 120), ("g1", 2, 90), ("g1", 3, 60),
+        ("g2", 4, 300), ("g2", 5, 10),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n long")
+    got = {r["doc_id"]: r["pack_id"] for r in
+           SA.pack_sequences(df, 256, tokens_col="n").collect()}
+    # reference: pack = floor(exclusive cumsum / 256) per group by doc_id
+    # g1 cumsums: 0,100,220,310 -> packs 0,0,0,1 ; g2: 0,300 -> 0,1
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 0, 5: 1}
+    with pytest.raises(ValueError, match="budget"):
+        SA.pack_sequences(df, 0, tokens_col="n")
+
+
+# ----------------------------------------------------------- pii / repetition
+def test_scrub_pii_replaces_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at bob.smith+x@corp.example.org today"),
+            (1, "server 192.168.0.1 and backup 10.0.0.2"),
+            (2, "call 555-123-4567 now"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.scrub_pii(df).collect()}
+    assert got[0]["clean_text"] == "mail me at <EMAIL> today"
+    assert got[0]["n_email"] == 1 and got[0]["n_ipv4"] == 0
+    assert got[1]["clean_text"] == "server <IP> and backup <IP>"
+    assert got[1]["n_ipv4"] == 2
+    assert got[2]["clean_text"] == "call <PHONE> now" and got[2]["n_phone"] == 1
+    assert got[3]["clean_text"] == "nothing sensitive here"
+    assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x y x y"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.repetition_stats(df).collect()}
+    assert abs(got[0]["top_token_frac"] - 3 / 4) < 1e-12
+    assert abs(got[0]["top_bigram_frac"] - 2 / 3) < 1e-12   # 'a a' twice of 3
+    assert abs(got[1]["top_token_frac"] - 2 / 4) < 1e-12
+    assert abs(got[1]["top_bigram_frac"] - 2 / 3) < 1e-12   # 'x y' twice of 3
+    assert got[2]["top_token_frac"] == 1.0
+    assert got[2]["top_bigram_frac"] is None                # no bigrams
