@@ -1,0 +1,117 @@
+"""Benchmark decontamination and exact-substring duplication metrics.
+
+Two operators a training-corpus pipeline runs before anything ships to a
+trainer:
+
+  * `ngram_overlap` — per-document overlap against a (small) benchmark /
+    eval set: the fraction of the doc's distinct n-grams that appear in ANY
+    benchmark document. The standard decontamination filter (drop or flag
+    docs whose eval overlap exceeds a threshold). The benchmark shingle set
+    is tiny next to the corpus (eval suites are MBs, the corpus is 100 TB),
+    so it is broadcast — the corpus NEVER shuffles for this check; the scan
+    → explode → broadcast-hash-join → partial-count pipeline is one stage.
+  * `duplicated_spans` — per-document exact-substring duplication: the
+    fraction of the doc's w-token window POSITIONS whose window also occurs
+    in some other document. The cheap distributed stand-in for suffix-array
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): a true suffix array is sequential, while
+    window-hash counting is two shuffles of integer hashes. Repeated
+    boilerplate (license headers, navigation chrome) shows up as a high
+    duplicated fraction even when whole-doc similarity is low.
+
+Both shuffle portable 60-bit hashes of shingles (`queries/common.py`
+phash), never shingle text — at 100 TB the shuffle payload is 8 bytes per
+gram either way, and the DuckDB oracle replays the identical hash. Hash
+collisions (~n²/2^60) can only overcount a duplicated window, identically
+in engine and oracle.
+
+Reference parity: out of the reference's scope (it copies pages verbatim,
+`src/main/.../CopyFilterPlugin.java` has no content analysis); these extend
+the engine's selection stage (`operators/sampling.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.operators.dedup import ngram_shingles
+from embulk_filter_copy_spark.queries.common import spark_phash
+
+
+def _hashed(sh: DataFrame) -> DataFrame:
+    return sh.withColumn("h", F.expr(spark_phash("sh", "dc:"))).drop("sh")
+
+
+def ngram_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-doc decontamination stats vs a benchmark set.
+
+    Returns (id, n_grams, n_hit_grams, contamination) for EVERY input doc —
+    zero-overlap docs included (the caller thresholds; a missing row is not
+    a clean doc, it's a bug). ``broadcast_bench=False`` falls back to a
+    shuffle join for the rare case of a benchmark set too large to
+    broadcast."""
+    d = _hashed(ngram_shingles(docs, n, id_col, text_col, distinct=True))
+    b = _hashed(
+        ngram_shingles(bench, n, id_col, text_col, distinct=True)
+    ).select("h").distinct()
+    if broadcast_bench:
+        b = F.broadcast(b)
+    hits = (
+        d.join(b, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        sizes.join(hits, id_col, "left")
+        .withColumn("n_hit_grams", F.coalesce("n_hit_grams", F.lit(0)))
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hit_grams") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    w: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc exact-substring duplication stats over w-token windows.
+
+    A window position counts as duplicated when its window text occurs in
+    at least one OTHER document (cross-doc duplication — a phrase repeated
+    within one doc only is repetition, which `text.repetition_stats`
+    measures, not duplication). Two shuffles, both over (hash, count)
+    pairs: one to find cross-doc window hashes, one left-semi back onto
+    positions; with a broadcast of the duplicated-hash set when it is small
+    enough, the second collapses into the scan stage."""
+    pos = _hashed(ngram_shingles(df, w, id_col, text_col, distinct=False))
+    cross = (
+        pos.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = pos.join(cross, "h", "left_semi")
+    n_dup = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    n_all = pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        n_all.join(n_dup, id_col, "left")
+        .withColumn("n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)))
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        )
+    )

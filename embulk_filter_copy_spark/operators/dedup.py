@@ -45,6 +45,30 @@ def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     )
 
 
+def ngram_shingles(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, sh) word n-gram shingles, built entirely JVM-side
+    (split → sequence → transform → explode, no Python). ``distinct=True``
+    gives the SET view the similarity family needs; ``distinct=False``
+    keeps one row per window position (the exact-substring view —
+    `decontam.duplicated_spans` counts positions, not types). Docs shorter
+    than ``n`` tokens yield their single short gram, so no doc silently
+    disappears from the shingle space."""
+    if n == 1 and distinct:
+        return tokens(df, id_col, text_col).withColumnRenamed("tok", "sh")
+    grams = F.expr(
+        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+    )
+    sh = df.select(id_col, F.explode(grams).alias("sh")).filter(F.col("sh") != "")
+    return sh.distinct() if distinct else sh
+
+
 def minhash_signatures(
     df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -117,20 +141,7 @@ def ngram_jaccard_pairs(
     (stop-shingle cut) — the knob that keeps join fan-out bounded on a
     100 TB corpus with hot shingles.
     """
-    if n == 1:
-        sh = tokens(df, id_col, text_col).withColumnRenamed("tok", "sh")
-    else:
-        toks = F.split(F.col(text_col), " ")
-        # for docs shorter than n tokens this yields one short gram (i=0)
-        grams = F.expr(
-            f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)),"
-            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
-        )
-        sh = (
-            df.select(id_col, F.explode(grams).alias("sh"))
-            .filter(F.col("sh") != "")
-            .distinct()
-        )
+    sh = ngram_shingles(df, n, id_col, text_col, distinct=True)
     if max_doc_freq is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_doc_freq).select("sh")
         sh = sh.join(hot, "sh", "left_anti")

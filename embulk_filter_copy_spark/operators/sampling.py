@@ -117,3 +117,71 @@ def pack_sequences(
     return df.withColumn(
         "pack_id", F.floor(excl / F.lit(budget)).cast("long")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shard:",
+) -> DataFrame:
+    """Deterministic training-order shard assignment: every row gets a
+    ``shard`` in [0, n_shards) and a dense 0-based ``pos`` within its
+    shard, both pure functions of the key. ``shard = phash(key) mod n``;
+    ``pos`` orders the shard by (hash, key) — i.e. a globally-shuffled
+    training order that any re-run (or any other engine) reproduces
+    byte-identically, replacing the usual `rand()`-ordered global sort.
+
+    One shuffle, keyed on ``shard``. The per-shard ``row_number`` sorts
+    each shard inside ONE task, so ``n_shards`` is the parallelism knob:
+    pick shards sized to the downstream training-file target (e.g. 10^4-10^5
+    shards for 100 TB → a few GB per task), never a handful. Hot-key skew
+    cannot occur — the hash spreads keys uniformly by construction."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = F.expr(spark_phash(key_col, salt))
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(key_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("_h")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Domain-mixture resampling: keep a per-group deterministic Bernoulli
+    fraction (`sample_by_hash` semantics, one threshold per group). The
+    weight table is joined as a BROADCAST dimension — never a per-group
+    literal CASE chain, so a mixture over 10^5 domains compiles and plans
+    identically to one over 3 (the same literal-inlining ceiling the IVF
+    assigner hit is avoided by construction). Groups absent from
+    ``weights`` fall back to ``default_fraction`` (0.0 = drop unknown
+    domains, the safe corpus-selection default).
+
+    Thresholds are quantized to the shared 1e-6 grid in PYTHON (not in an
+    engine expression), so the oracle and the engine cannot round
+    differently."""
+    for g, frac in weights.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"weight for {g!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    spark = df.sparkSession
+    rows = [(g, int(round(f * HASH_MOD))) for g, f in sorted(weights.items())]
+    wdf = spark.createDataFrame(rows, schema=f"{group_col} string, _thr long")
+    default_thr = int(round(default_fraction * HASH_MOD))
+    u = F.expr(f"pmod({spark_phash(key_col, salt)}, {HASH_MOD})")
+    return (
+        df.join(F.broadcast(wdf), group_col, "left")
+        .withColumn("_thr", F.coalesce("_thr", F.lit(default_thr)))
+        .filter(u < F.col("_thr"))
+        .select(*df.columns)
+    )

@@ -444,8 +444,62 @@ FROM embeddings WHERE vec_id % 5 <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 version history of the synthetic change log: every ~20th
+    event (by key-hash) is a delete, the rest upserts; the history carries
+    one row per surviving version with its [valid_from, valid_to) LSN
+    interval, deletes closing (but not emitting) versions."""
+    from embulk_filter_copy_spark.cdc.history import scd2_history
+    from embulk_filter_copy_spark.queries.common import spark_phash
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("event_id").alias("lsn"),
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .withColumn(
+            "op",
+            F.when(
+                F.expr(
+                    f"pmod({spark_phash('cast(lsn as string)', 'op:')}, 20) = 0"
+                ),
+                F.lit("D"),
+            ).otherwise(F.lit("U")),
+        )
+    )
+    return scd2_history(ev, ["user_id"], lsn_col="lsn", op_col="op")
+
+
+def _scd2_sql() -> str:
+    from embulk_filter_copy_spark.queries.common import duck_phash
+
+    op = (
+        f"CASE WHEN ({duck_phash('lsn::VARCHAR', 'op:')} % 20) = 0 "
+        "THEN 'D' ELSE 'U' END"
+    )
+    return f"""
+WITH ch AS (
+  SELECT user_id, event_id AS lsn, event_type, round(value, 6) AS value,
+         {op} AS op
+  FROM events
+),
+h AS (
+  SELECT *, lead(lsn) OVER (PARTITION BY user_id ORDER BY lsn) AS valid_to_lsn
+  FROM ch
+)
+SELECT user_id, event_type, value, lsn AS valid_from_lsn, valid_to_lsn,
+       (valid_to_lsn IS NULL) AS is_current
+FROM h WHERE op <> 'D'
+"""
+
+
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
+    "cdc_scd2_history": (cdc_scd2_history, _scd2_sql()),
     "cdc_replay_embeddings": (cdc_replay_embeddings, CDC_REPLAY_EMB_SQL),
     "cdc_lww_latest": (cdc_lww_latest, CDC_LWW_SQL),
     "cdc_dedup_exact": (cdc_dedup_exact, CDC_DEDUP_SQL),

@@ -16,7 +16,7 @@ from embulk_filter_copy_spark.operators import multimodal as M
 from embulk_filter_copy_spark.operators import sampling as SA
 from embulk_filter_copy_spark.operators import similarity as S
 from embulk_filter_copy_spark.operators import text as TX
-from embulk_filter_copy_spark.queries.common import duck_phash, reps, t
+from embulk_filter_copy_spark.queries.common import duck_phash, reps, spark_phash, t
 
 _TOK_CTE = """
 tok AS (
@@ -871,6 +871,121 @@ SELECT doc_id, {mins} FROM tok GROUP BY doc_id
 """
 
 
+# ------------------------------------------------- decontamination / spans
+def _bench_split(spark: SparkSession, sf_dir: str):
+    """Deterministic 10% 'benchmark' carve-out of documents (phash salt
+    'bench:') — stands in for the eval suites a decontamination pass
+    screens against. Returns (corpus, bench)."""
+    docs = t(spark, sf_dir, "documents")
+    is_bench = F.expr(f"pmod({spark_phash('doc_id', 'bench:')}, 10) = 0")
+    return docs.filter(~is_bench), docs.filter(is_bench)
+
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram decontamination of the corpus against the carved-out bench
+    set: broadcast bench shingle hashes, count per-doc hits. n=3 because
+    the synthetic vocab is ~31 words (13-grams would never repeat); the
+    operator defaults to n=13 for real text."""
+    from embulk_filter_copy_spark.operators import decontam as DC
+
+    corpus, bench = _bench_split(spark, sf_dir)
+    return DC.ngram_overlap(corpus, bench, n=3)
+
+
+def _tri_cte(dist: bool) -> str:
+    """DuckDB word-trigram shingles replaying `ngram_shingles(n=3)`:
+    positions 1..len-2 (one short gram for <3-token docs)."""
+    inner = (
+        "SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')\n"
+        "           FOR i IN range(1, greatest(len(toks) - 1, 2))]) AS sh\n"
+        "    FROM g"
+    )
+    body = f"SELECT DISTINCT doc_id, sh FROM ({inner})" if dist else f"SELECT doc_id, sh FROM ({inner})"
+    return (
+        "g AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),\n"
+        f"sh3 AS ({body} WHERE sh <> '')"
+    )
+
+
+DECONTAM_SQL = f"""
+WITH {_tri_cte(dist=True)},
+h AS (SELECT doc_id, {duck_phash('sh', 'dc:')} AS h,
+             ({duck_phash('doc_id', 'bench:')} % 10 = 0) AS is_bench
+      FROM sh3),
+bh AS (SELECT DISTINCT h FROM h WHERE is_bench),
+d AS (SELECT doc_id, h FROM h WHERE NOT is_bench),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM d GROUP BY 1),
+hits AS (SELECT d.doc_id, count(*) AS n_hit FROM d JOIN bh USING (h) GROUP BY 1)
+SELECT s.doc_id, s.n_grams,
+       coalesce(n_hit, 0) AS n_hit_grams,
+       round(coalesce(n_hit, 0)::DOUBLE / s.n_grams, 6) AS contamination
+FROM sizes s LEFT JOIN hits ON hits.doc_id = s.doc_id
+"""
+
+
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication over 3-token windows (positional, not
+    set-based — boilerplate repeated across docs counts every occurrence)."""
+    from embulk_filter_copy_spark.operators import decontam as DC
+
+    return DC.duplicated_spans(t(spark, sf_dir, "documents"), w=3)
+
+
+SPAN_STATS_SQL = f"""
+WITH {_tri_cte(dist=False)},
+pos AS (SELECT doc_id, {duck_phash('sh', 'dc:')} AS h FROM sh3),
+cross_h AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY h)
+            WHERE nd >= 2),
+n_all AS (SELECT doc_id, count(*) AS n_windows FROM pos GROUP BY 1),
+n_dup AS (SELECT doc_id, count(*) AS n_dup
+          FROM pos WHERE h IN (SELECT h FROM cross_h) GROUP BY 1)
+SELECT a.doc_id, a.n_windows,
+       coalesce(d.n_dup, 0) AS n_dup_windows,
+       round(coalesce(d.n_dup, 0)::DOUBLE / a.n_windows, 6) AS dup_fraction
+FROM n_all a LEFT JOIN n_dup d ON d.doc_id = a.doc_id
+"""
+
+
+# ------------------------------------------------- shards / mixture
+def sample_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SA.assign_shards(t(spark, sf_dir, "documents"), "doc_id", 8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+ASSIGN_SHARDS_SQL = f"""
+WITH h AS (SELECT doc_id, {duck_phash('doc_id', 'shard:')} AS h FROM documents)
+SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS INT) AS pos
+FROM h
+"""
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SA.mixture_sample(
+        t(spark, sf_dir, "documents"),
+        "source",
+        _MIX_WEIGHTS,
+        key_col="doc_id",
+        default_fraction=_MIX_DEFAULT,
+    ).select("doc_id", "source")
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(round(f * SA.HASH_MOD))}"
+        for g, f in sorted(_MIX_WEIGHTS.items())
+    )
+    thr = f"CASE source {cases} ELSE {int(round(_MIX_DEFAULT * SA.HASH_MOD))} END"
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ({duck_phash('doc_id', 'mix:')} % {SA.HASH_MOD}) < ({thr})
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, _minhash_sig_sql(8)),
@@ -900,4 +1015,8 @@ QUERIES = {
     "text_scrub_pii": (text_scrub_pii, SCRUB_PII_SQL),
     "text_repetition_stats": (text_repetition_stats, REPETITION_SQL),
     "dedup_incremental_signatures": (dedup_incremental_signatures, _inc_sig_sql(8)),
+    "decontam_ngram_overlap": (decontam_ngram_overlap, DECONTAM_SQL),
+    "dedup_span_stats": (dedup_span_stats, SPAN_STATS_SQL),
+    "sample_assign_shards": (sample_assign_shards, ASSIGN_SHARDS_SQL),
+    "sample_mixture_weights": (sample_mixture_weights, _mixture_sql()),
 }

@@ -1,0 +1,186 @@
+"""Semantic tests for the SCD2 history operator, decontamination /
+span-duplication metrics, and the shard/mixture selection operators —
+edge cases the oracle parity suite (cross-engine equality) can't see."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.cdc.history import scd2_history, snapshot_as_of
+from embulk_filter_copy_spark.operators import decontam as DC
+from embulk_filter_copy_spark.operators import sampling as SA
+
+
+# ------------------------------------------------------------- SCD2 history
+@pytest.fixture(scope="module")
+def changes(spark):
+    # key k1: I@1 -> U@3 -> D@5 -> I@7 (reborn); key k2: I@2 only
+    rows = [
+        ("k1", 1, "I", "a"),
+        ("k1", 3, "U", "b"),
+        ("k1", 5, "D", None),
+        ("k1", 7, "I", "c"),
+        ("k2", 2, "I", "x"),
+    ]
+    return spark.createDataFrame(rows, "k string, lsn long, op string, v string")
+
+
+def test_scd2_intervals_and_delete_close(changes):
+    h = {r["valid_from_lsn"]: r for r in scd2_history(changes, ["k"]).collect()}
+    assert set(h) == {1, 3, 7, 2}
+    assert h[1]["valid_to_lsn"] == 3 and not h[1]["is_current"]
+    # the delete CLOSES version @3 (valid_to = delete's LSN) without a row
+    assert h[3]["valid_to_lsn"] == 5 and not h[3]["is_current"]
+    assert h[7]["valid_to_lsn"] is None and h[7]["is_current"]
+    assert h[2]["valid_to_lsn"] is None and h[2]["is_current"]
+
+
+def test_scd2_key_deleted_last_has_no_open_version(spark):
+    ch = spark.createDataFrame(
+        [("k", 1, "I", "a"), ("k", 2, "D", None)],
+        "k string, lsn long, op string, v string",
+    )
+    h = scd2_history(ch, ["k"]).collect()
+    assert len(h) == 1 and h[0]["valid_to_lsn"] == 2
+    assert not any(r["is_current"] for r in h)
+
+
+def test_snapshot_as_of_matches_point_in_time(changes):
+    h = scd2_history(changes, ["k"])
+    # at LSN 4: k1 at version @3 (value b), k2 at @2
+    s4 = {r["k"]: r["v"] for r in snapshot_as_of(h, 4).collect()}
+    assert s4 == {"k1": "b", "k2": "x"}
+    # at LSN 5 (delete applied, exclusive-to): k1 absent
+    s5 = {r["k"]: r["v"] for r in snapshot_as_of(h, 5).collect()}
+    assert s5 == {"k2": "x"}
+    # at LSN 7: k1 reborn
+    s7 = {r["k"]: r["v"] for r in snapshot_as_of(h, 7).collect()}
+    assert s7 == {"k1": "c", "k2": "x"}
+
+
+def test_scd2_requires_keys(changes):
+    with pytest.raises(ValueError):
+        scd2_history(changes, [])
+
+
+# ------------------------------------------------------- decontamination
+@pytest.fixture(scope="module")
+def corpus_bench(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "completely novel text with unique words here"),
+            (2, "quick brown fox ate food"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox appears")], "doc_id long, text string"
+    )
+    return corpus, bench
+
+
+def test_ngram_overlap_counts_and_zero_rows(corpus_bench):
+    corpus, bench = corpus_bench
+    out = {r["doc_id"]: r for r in DC.ngram_overlap(corpus, bench, n=3).collect()}
+    # every corpus doc present, including zero-overlap doc 1
+    assert set(out) == {0, 1, 2}
+    assert out[1]["n_hit_grams"] == 0 and out[1]["contamination"] == 0.0
+    # bench trigrams: {a quick brown, quick brown fox, brown fox appears}
+    # doc 0 distinct trigrams include 'quick brown fox' -> 1 hit of 7 grams
+    assert out[0]["n_hit_grams"] == 1 and out[0]["n_grams"] == 7
+    assert out[2]["n_hit_grams"] == 1 and out[2]["n_grams"] == 3
+    # shuffle-join fallback agrees with the broadcast path
+    out2 = {
+        r["doc_id"]: (r["n_hit_grams"], r["n_grams"])
+        for r in DC.ngram_overlap(
+            corpus, bench, n=3, broadcast_bench=False
+        ).collect()
+    }
+    assert out2 == {k: (v["n_hit_grams"], v["n_grams"]) for k, v in out.items()}
+
+
+def test_duplicated_spans_positional_semantics(spark):
+    # doc 0 repeats 'x y z' twice (positions count separately);
+    # doc 1 shares it once; doc 2 shares nothing
+    df = spark.createDataFrame(
+        [
+            (0, "x y z q x y z"),
+            (1, "p x y z r"),
+            (2, "totally different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DC.duplicated_spans(df, w=3).collect()}
+    # doc 0 windows: xyz yzq zqx qxy xyz -> the two xyz positions + none else
+    assert out[0]["n_windows"] == 5 and out[0]["n_dup_windows"] == 2
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup_windows"] == 1
+    assert out[2]["n_dup_windows"] == 0 and out[2]["dup_fraction"] == 0.0
+
+
+def test_within_doc_repetition_not_counted_as_duplication(spark):
+    # a phrase repeated ONLY inside one doc is repetition, not duplication
+    df = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "unrelated different tokens")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DC.duplicated_spans(df, w=3).collect()}
+    assert out[0]["n_dup_windows"] == 0
+
+
+# --------------------------------------------------------- shards / mixture
+def test_assign_shards_deterministic_partition(spark):
+    df = spark.range(0, 500).select(F.concat(F.lit("d"), "id").alias("k"))
+    a = SA.assign_shards(df, "k", 8)
+    rows = a.collect()
+    # exact partition: every row assigned, shards in range
+    assert len(rows) == 500
+    assert {r["shard"] for r in rows} <= set(range(8))
+    # pos is dense 0..count-1 per shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r["pos"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # byte-identical on re-run
+    again = {(r["k"], r["shard"], r["pos"]) for r in SA.assign_shards(df, "k", 8).collect()}
+    assert again == {(r["k"], r["shard"], r["pos"]) for r in rows}
+    with pytest.raises(ValueError):
+        SA.assign_shards(df, "k", 0)
+
+
+def test_mixture_sample_rates_and_default(spark):
+    df = (
+        spark.range(0, 4000)
+        .select(
+            F.concat(F.lit("d"), "id").alias("doc_id"),
+            F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("grp"),
+        )
+    )
+    out = SA.mixture_sample(
+        df, "grp", {"g0": 1.0, "g1": 0.5, "g2": 0.0}, key_col="doc_id",
+        default_fraction=0.25,
+    )
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["g0"] == 1000          # keep-all is exact
+    assert "g2" not in counts            # drop-all is exact
+    assert 400 <= counts["g1"] <= 600    # ~50% of 1000
+    assert 150 <= counts.get("g3", 0) <= 350  # default 25% applies to unknown g3
+    # deterministic
+    assert out.count() == SA.mixture_sample(
+        df, "grp", {"g0": 1.0, "g1": 0.5, "g2": 0.0}, key_col="doc_id",
+        default_fraction=0.25,
+    ).count()
+    with pytest.raises(ValueError):
+        SA.mixture_sample(df, "grp", {"g0": 1.5}, key_col="doc_id")
+    with pytest.raises(ValueError):
+        SA.mixture_sample(df, "grp", {"g0": 0.5}, key_col="doc_id", default_fraction=-0.1)
+
+
+def test_mixture_sample_subset_of_input_and_no_helper_cols(spark):
+    df = spark.range(0, 100).select(
+        F.concat(F.lit("d"), "id").alias("doc_id"), F.lit("g0").alias("grp")
+    )
+    out = SA.mixture_sample(df, "grp", {"g0": 0.5}, key_col="doc_id")
+    assert out.columns == df.columns
