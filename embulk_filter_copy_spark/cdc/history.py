@@ -31,10 +31,14 @@ consumer expects.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from embulk_filter_copy_spark.lake.schema import TableSchema
+from embulk_filter_copy_spark.lake.table import LakeTable
 
 
 def scd2_history(
@@ -86,3 +90,132 @@ def snapshot_as_of(
         (F.col(from_col) <= F.lit(as_of_lsn))
         & (F.col(to_col).isNull() | (F.col(to_col) > F.lit(as_of_lsn)))
     ).drop("is_current")
+
+
+# ---------------------------------------------------------------------------
+# Incremental history maintenance on a LakeTable
+#
+# The scalable shape is APPEND-ONLY: each epoch writes one immutable row per
+# change ("version event": the attribute image + its own LSN + the op), with
+# NO read of the target and NO closing-update of prior versions — closing is
+# a property of the NEXT version's existence, so `read_history` derives
+# `valid_to_lsn` with one per-key `lead()` window at read time (merge-on-read
+# philosophy, same trade the MOR delta path makes). That keeps every epoch
+# O(batch) regardless of table size: at 10^10 events an epoch never touches
+# the 10^10-row history, while the closing-update design would pay a
+# key-join against it per epoch.
+#
+# Delete events ARE stored (op='D', null attributes): they close the prior
+# version via lead() and are filtered out of the version view — identical
+# semantics to the batch `scd2_history` operator, which `read_history`
+# literally reuses.
+#
+# The table is keyed (key..., valid_from_lsn) — every version is its own
+# row — but BUCKETED by the key alone (`bucket_columns`), so all versions
+# of a key co-locate in one bucket: point history lookups and future
+# per-key rewrites prune to a single bucket.
+# ---------------------------------------------------------------------------
+
+_VER_OP = "ver_op"
+_VER_LSN = "valid_from_lsn"
+
+
+def create_history_table(
+    spark: SparkSession,
+    path: str,
+    attr_schema: list[tuple[str, str]],
+    key_cols: Sequence[str],
+    n_buckets: int = 16,
+) -> LakeTable:
+    """Create the append-only version store. ``attr_schema`` lists
+    (name, type) for key + attribute columns; ``valid_from_lsn`` and the
+    retained op column are added by the store."""
+    names = [n for n, _ in attr_schema]
+    for k in key_cols:
+        if k not in names:
+            raise ValueError(f"key column {k!r} missing from attr_schema")
+    schema = TableSchema.from_pairs(
+        list(attr_schema) + [(_VER_LSN, "long"), (_VER_OP, "string")]
+    )
+    return LakeTable.create(
+        spark,
+        path,
+        schema,
+        key_columns=list(key_cols) + [_VER_LSN],
+        n_buckets=n_buckets,
+        bucket_columns=list(key_cols),
+    )
+
+
+def apply_history_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    run_id: str,
+    epoch: int,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> dict:
+    """Append one epoch of change events as version rows, exactly once.
+
+    At-least-once transports can duplicate (key, LSN) — the batch is
+    LWW-deduped per (key, LSN) first (one shuffle over the BATCH, never the
+    table). Whole-epoch replays are elided by the same (run, epoch) commit
+    manifest the merge path uses; the append is O(batch).
+    """
+    if table.has_commit(run_id, epoch):
+        return {"skipped": True, "run_id": run_id, "epoch": epoch}
+    t0 = time.time()
+    from embulk_filter_copy_spark.lake.schema import spark_type
+
+    keys = [c for c in table.key_columns if c != _VER_LSN]
+    attr_fields = [
+        f for f in table.schema.fields if f.name not in (_VER_LSN, _VER_OP)
+    ]
+    payload = [
+        c for c in batch.columns if c not in (lsn_col, op_col) and c not in keys
+    ]
+    is_del = F.col(op_col) == F.lit("D")
+    # ONE shuffle over the BATCH: per-(key, lsn) LWW collapse of transport
+    # duplicates + the op marker, never touching the table
+    versions = batch.groupBy(*keys, F.col(lsn_col).alias(_VER_LSN)).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(lsn_col)).alias("_w"),
+        F.max(F.when(is_del, F.lit("D")).otherwise(F.lit("U"))).alias(_VER_OP),
+    )
+    out_cols = []
+    for f in attr_fields:
+        if f.name in keys:
+            out_cols.append(F.col(f.name))
+        elif f.name in payload:
+            # delete markers carry no attribute image
+            out_cols.append(
+                F.when(F.col(_VER_OP) == "D", F.lit(None))
+                .otherwise(F.col(f"_w.{f.name}"))
+                .alias(f.name)
+            )
+        else:
+            # column unknown to this batch (added via schema evolution)
+            out_cols.append(F.lit(None).cast(spark_type(f.type)).alias(f.name))
+    out = versions.select(*out_cols, F.col(_VER_LSN), F.col(_VER_OP))
+    # carry the LSN into the file meta column: footer min/max then powers
+    # per-file LSN-range pruning in read_changes/high_lsn, same as the sink
+    out = out.withColumn("_lsn", F.col(_VER_LSN))
+    commit = {"run_id": run_id, "epoch": epoch, "seq": 0}
+    ret = table.append(out, commit=commit)
+    return {
+        "skipped": False,
+        "run_id": run_id,
+        "epoch": epoch,
+        "rows_appended": int(ret["rows"]),
+        "duration_sec": time.time() - t0,
+    }
+
+
+def read_history(table: LakeTable, version: int | None = None) -> DataFrame:
+    """The SCD2 view over the version store: per-key ``lead()`` derives
+    ``valid_to_lsn``, delete markers close without emitting. One window
+    shuffle — the same cost the batch operator pays, deferred to read;
+    a consumer that reads the history often should materialize this view
+    with the lake writer and refresh it from `read_changes`."""
+    keys = [c for c in table.key_columns if c != _VER_LSN]
+    raw = table.read(version=version)
+    return scd2_history(raw, keys, lsn_col=_VER_LSN, op_col=_VER_OP, delete_op="D")

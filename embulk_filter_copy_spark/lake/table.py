@@ -71,11 +71,28 @@ class LakeTable:
         schema: TableSchema | list[tuple[str, str]],
         key_columns: list[str],
         n_buckets: int = 16,
+        bucket_columns: list[str] | None = None,
     ) -> LakeTable:
+        """``bucket_columns`` (default: the key columns) decouples physical
+        co-location from row identity, Iceberg-partition-spec style: e.g. a
+        version-history table keyed ``(repo, path, valid_from_lsn)`` but
+        bucketed by ``(repo, path)`` keeps every version of a key in ONE
+        bucket, so point-lookups and per-key history rewrites prune to a
+        single bucket. Must be a subset of ``key_columns`` — otherwise two
+        rows with equal keys could land in different buckets and the
+        bucket-pruned MERGE would silently miss its target row."""
         if not isinstance(schema, TableSchema):
             schema = TableSchema.from_pairs(schema)
         for k in key_columns:
             schema.field(k)  # validate keys exist
+        if bucket_columns is not None:
+            missing = [c for c in bucket_columns if c not in key_columns]
+            if missing:
+                raise ValueError(
+                    f"bucket_columns must be a subset of key_columns; extra: {missing}"
+                )
+            if not bucket_columns:
+                raise ValueError("bucket_columns must be non-empty when given")
         t = cls(spark, path)
         os.makedirs(t._meta_dir, exist_ok=False)
         os.makedirs(os.path.join(t.path, "data"), exist_ok=True)
@@ -84,6 +101,7 @@ class LakeTable:
             "version": 1,
             "parent": None,
             "key_columns": list(key_columns),
+            "bucket_columns": list(bucket_columns) if bucket_columns else list(key_columns),
             "n_buckets": int(n_buckets),
             "schema_version": 1,
             "schemas": {"1": schema.to_json()},
@@ -164,6 +182,11 @@ class LakeTable:
         return list(self.snapshot()["key_columns"])
 
     @property
+    def bucket_columns(self) -> list[str]:
+        # tables created before the option existed bucket by the full key
+        return list(self.snapshot().get("bucket_columns") or self.snapshot()["key_columns"])
+
+    @property
     def n_buckets(self) -> int:
         return self.snapshot()["n_buckets"]
 
@@ -172,9 +195,10 @@ class LakeTable:
         return self.snapshot()["schema_lsn"]
 
     def bucket_expr(self, n_buckets: int | None = None) -> F.Column:
-        """Hash-bucket of the key columns; the physical partitioning unit."""
+        """Hash-bucket of the bucket columns (default: the key columns);
+        the physical partitioning unit."""
         return F.pmod(
-            F.xxhash64(*[F.col(k) for k in self.key_columns]),
+            F.xxhash64(*[F.col(k) for k in self.bucket_columns]),
             F.lit(n_buckets if n_buckets is not None else self.n_buckets),
         )
 

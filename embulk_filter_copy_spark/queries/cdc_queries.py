@@ -445,15 +445,12 @@ FROM embeddings WHERE vec_id % 5 <> 0
 
 
 # ---------------------------------------------------------------------------
-def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full SCD2 version history of the synthetic change log: every ~20th
-    event (by key-hash) is a delete, the rest upserts; the history carries
-    one row per surviving version with its [valid_from, valid_to) LSN
-    interval, deletes closing (but not emitting) versions."""
-    from embulk_filter_copy_spark.cdc.history import scd2_history
+def _scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic SCD2 change log both SCD2 queries share: every ~20th
+    event (by LSN hash) is a delete, the rest upserts."""
     from embulk_filter_copy_spark.queries.common import spark_phash
 
-    ev = (
+    return (
         t(spark, sf_dir, "events")
         .select(
             "user_id",
@@ -471,7 +468,62 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("U")),
         )
     )
-    return scd2_history(ev, ["user_id"], lsn_col="lsn", op_col="op")
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 version history of the synthetic change log: the history
+    carries one row per surviving version with its [valid_from, valid_to)
+    LSN interval, deletes closing (but not emitting) versions."""
+    from embulk_filter_copy_spark.cdc.history import scd2_history
+
+    return scd2_history(
+        _scd2_changes(spark, sf_dir), ["user_id"], lsn_col="lsn", op_col="op"
+    )
+
+
+def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as `cdc_scd2_history`, but maintained INCREMENTALLY: the
+    change log is split into 3 LSN-ordered epochs, each appended to a
+    version-store LakeTable (`apply_history_batch` — O(batch) append-only,
+    manifest-gated exactly-once, NO read of the table per epoch), and
+    `read_history` derives the intervals at read time. The checked property
+    is incremental == one-shot == SQL oracle. Epoch 1 is applied twice to
+    prove replay idempotence through the manifest gate."""
+    import tempfile
+
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+        read_history,
+    )
+
+    ev = _scd2_changes(spark, sf_dir)
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).first()
+    cuts = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    root = tempfile.mkdtemp(prefix="efc-scd2-q-")
+    table = create_history_table(
+        spark,
+        f"{root}/h",
+        [("user_id", "long"), ("event_type", "string"), ("value", "double")],
+        key_cols=["user_id"],
+        n_buckets=16,
+    )
+    epochs = [
+        ev.filter(F.col("lsn") <= cuts[0]),
+        ev.filter((F.col("lsn") > cuts[0]) & (F.col("lsn") <= cuts[1])),
+        ev.filter(F.col("lsn") > cuts[1]),
+    ]
+    for i, e in enumerate(epochs):
+        apply_history_batch(table, e, run_id="q-scd2", epoch=i)
+    assert apply_history_batch(table, epochs[0], run_id="q-scd2", epoch=0)["skipped"]
+    return read_history(table).select(
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "valid_from_lsn",
+        "valid_to_lsn",
+        "is_current",
+    )
 
 
 def _scd2_sql() -> str:
@@ -500,6 +552,7 @@ FROM h WHERE op <> 'D'
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
     "cdc_scd2_history": (cdc_scd2_history, _scd2_sql()),
+    "cdc_scd2_incremental": (cdc_scd2_incremental, _scd2_sql()),
     "cdc_replay_embeddings": (cdc_replay_embeddings, CDC_REPLAY_EMB_SQL),
     "cdc_lww_latest": (cdc_lww_latest, CDC_LWW_SQL),
     "cdc_dedup_exact": (cdc_dedup_exact, CDC_DEDUP_SQL),

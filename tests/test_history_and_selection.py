@@ -62,6 +62,113 @@ def test_scd2_requires_keys(changes):
         scd2_history(changes, [])
 
 
+# ------------------------------------------- incremental history (LakeTable)
+@pytest.fixture()
+def hist_table(spark, tmp_path):
+    from embulk_filter_copy_spark.cdc.history import create_history_table
+
+    return create_history_table(
+        spark,
+        str(tmp_path / "h"),
+        [("k", "string"), ("v", "string")],
+        key_cols=["k"],
+        n_buckets=4,
+    )
+
+
+def test_incremental_history_matches_batch_operator(spark, hist_table, changes):
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        read_history,
+    )
+
+    # epoch 0: LSN 1-3, epoch 1: LSN 5-7 (delete @5 crosses the boundary)
+    ch = changes.withColumnRenamed("k", "k")
+    e0 = ch.filter("lsn <= 3")
+    e1 = ch.filter("lsn > 3")
+    r0 = apply_history_batch(hist_table, e0, run_id="r", epoch=0)
+    r1 = apply_history_batch(hist_table, e1, run_id="r", epoch=1)
+    assert not r0["skipped"] and r0["rows_appended"] == 3
+    assert not r1["skipped"] and r1["rows_appended"] == 2
+
+    inc = read_history(hist_table).select(
+        "k", "v", "valid_from_lsn", "valid_to_lsn", "is_current"
+    )
+    batch = scd2_history(ch, ["k"]).select(
+        "k", "v", "valid_from_lsn", "valid_to_lsn", "is_current"
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, batch.collect()))
+    # the cross-epoch close: version @3 (epoch 0) closed by delete @5 (epoch 1)
+    got = {r["valid_from_lsn"]: r for r in inc.collect()}
+    assert got[3]["valid_to_lsn"] == 5 and not got[3]["is_current"]
+
+
+def test_incremental_history_epoch_replay_idempotent(spark, hist_table, changes):
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        read_history,
+    )
+
+    apply_history_batch(hist_table, changes, run_id="r", epoch=0)
+    n1 = read_history(hist_table).count()
+    ret = apply_history_batch(hist_table, changes, run_id="r", epoch=0)
+    assert ret["skipped"]
+    assert read_history(hist_table).count() == n1
+
+
+def test_incremental_history_dedups_transport_duplicates(spark, hist_table):
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        read_history,
+    )
+
+    dup = spark.createDataFrame(
+        [("k", 1, "I", "a"), ("k", 1, "I", "a"), ("k", 2, "U", "b")],
+        "k string, lsn long, op string, v string",
+    )
+    ret = apply_history_batch(hist_table, dup, run_id="r", epoch=0)
+    assert ret["rows_appended"] == 2
+    h = {r["valid_from_lsn"]: r for r in read_history(hist_table).collect()}
+    assert set(h) == {1, 2} and h[1]["valid_to_lsn"] == 2
+
+
+def test_history_versions_colocate_in_one_bucket(spark, hist_table, changes):
+    from embulk_filter_copy_spark.cdc.history import apply_history_batch
+
+    apply_history_batch(hist_table, changes, run_id="r", epoch=0)
+    raw = hist_table.read(include_meta=True)
+    per_key = (
+        raw.withColumn("_b", hist_table.bucket_expr())
+        .groupBy("k")
+        .agg(F.count_distinct("_b").alias("nb"))
+        .collect()
+    )
+    assert all(r["nb"] == 1 for r in per_key)
+    # _lsn meta carries the version LSN (powers per-file LSN pruning)
+    assert raw.filter(F.col("_lsn") != F.col("valid_from_lsn")).count() == 0
+
+
+def test_bucket_columns_must_be_key_subset(spark, tmp_path):
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    with pytest.raises(ValueError):
+        LakeTable.create(
+            spark,
+            str(tmp_path / "bad"),
+            [("a", "long"), ("b", "long")],
+            key_columns=["a"],
+            bucket_columns=["b"],
+        )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "ok"),
+        [("a", "long"), ("b", "long")],
+        key_columns=["a", "b"],
+        bucket_columns=["a"],
+    )
+    assert t.bucket_columns == ["a"] and t.key_columns == ["a", "b"]
+
+
 # ------------------------------------------------------- decontamination
 @pytest.fixture(scope="module")
 def corpus_bench(spark):
