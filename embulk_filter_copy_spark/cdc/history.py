@@ -171,9 +171,13 @@ def apply_history_batch(
     attr_fields = [
         f for f in table.schema.fields if f.name not in (_VER_LSN, _VER_OP)
     ]
-    payload = [
-        c for c in batch.columns if c not in (lsn_col, op_col) and c not in keys
-    ]
+    attr_names = {f.name for f in attr_fields}
+    # only columns the store knows ride the shuffle struct — stream-envelope
+    # extras (ts, schema_change) stay out of the payload
+    payload = [c for c in batch.columns if c in attr_names and c not in keys]
+    # schema-change events are not versions; the store's own schema evolves
+    # via LakeTable.update_schema like any sink
+    batch = batch.filter(F.col(op_col) != F.lit("S"))
     is_del = F.col(op_col) == F.lit("D")
     # ONE shuffle over the BATCH: per-(key, lsn) LWW collapse of transport
     # duplicates + the op marker, never touching the table

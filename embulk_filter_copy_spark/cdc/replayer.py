@@ -79,8 +79,17 @@ class FanoutApplier:
     _PROJECTION_ONLY = {"select", "drop", "rename", "with_column"}
 
     def _sharable_dedup(self) -> bool:
-        return self.quarantine is None and all(
-            tr[0] in self._PROJECTION_ONLY for leaf in self.leaves for tr in leaf.transforms
+        # a history sink consumes EVERY (key, lsn) version — the shared
+        # per-key LWW collapse would silently erase its intermediate
+        # versions, so sharing is off whenever one is present
+        return (
+            self.quarantine is None
+            and all(leaf.mode == "merge" for leaf in self.leaves)
+            and all(
+                tr[0] in self._PROJECTION_ONLY
+                for leaf in self.leaves
+                for tr in leaf.transforms
+            )
         )
 
     def _sinks_keyed_like_stream(self) -> bool:
@@ -120,6 +129,18 @@ class FanoutApplier:
         def apply_leaf(leaf: LeafSink) -> dict:
             table = LakeTable.load(self.spark, leaf.path)
             df = apply_transforms(batch_df, leaf.transforms, keys=self.keys)
+            if leaf.mode == "history":
+                # append-only version store: keeps every version (does its
+                # own per-(key, lsn) transport dedup), manifest-gated
+                from embulk_filter_copy_spark.cdc.history import (
+                    apply_history_batch,
+                )
+
+                res = apply_history_batch(
+                    table, df, run_id=self.run_id, epoch=int(epoch_id)
+                )
+                res["sink"] = leaf.name
+                return res
             res = apply_batch(
                 table,
                 df,

@@ -49,12 +49,19 @@ def register_transform(name: str):
 @dataclass(frozen=True)
 class SinkSpec:
     """A node in the fan-out tree. Leaf iff ``path`` is set (a LakeTable
-    root); interior nodes contribute their transforms to every descendant."""
+    root); interior nodes contribute their transforms to every descendant.
+
+    ``mode`` (leaf-only): ``"merge"`` upserts final state per key (the
+    default), ``"history"`` appends every version to an SCD2 version store
+    (`cdc/history.py`) — one stream can feed the current-state table AND
+    its audit history in the same epoch, each exactly-once under its own
+    manifest."""
 
     name: str
     path: str | None = None
     transforms: tuple = ()
     children: tuple = ()
+    mode: str = "merge"
 
 
 @dataclass(frozen=True)
@@ -62,6 +69,7 @@ class LeafSink:
     name: str
     path: str
     transforms: tuple = ()
+    mode: str = "merge"
 
 
 def flatten_specs(specs: list[SinkSpec] | SinkSpec, _prefix: str = "", _chain: tuple = ()) -> list[LeafSink]:
@@ -74,7 +82,11 @@ def flatten_specs(specs: list[SinkSpec] | SinkSpec, _prefix: str = "", _chain: t
         name = f"{_prefix}{s.name}"
         chain = _chain + tuple(s.transforms)
         if s.path is not None:
-            leaves.append(LeafSink(name=name, path=s.path, transforms=chain))
+            if s.mode not in ("merge", "history"):
+                raise ValueError(f"unknown sink mode {s.mode!r} on {name!r}")
+            leaves.append(
+                LeafSink(name=name, path=s.path, transforms=chain, mode=s.mode)
+            )
         for c in s.children:
             leaves.extend(flatten_specs(c, _prefix=f"{name}/", _chain=chain))
     return leaves

@@ -78,6 +78,7 @@ def _parse_spec(d: dict):
         path=d.get("path"),
         transforms=tuple(tuple(t) for t in d.get("transforms", [])),
         children=tuple(_parse_spec(c) for c in d.get("children", [])),
+        mode=d.get("mode", "merge"),
     )
 
 

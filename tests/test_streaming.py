@@ -379,3 +379,59 @@ def test_quarantine_unchanged_across_injected_crash_resume(spark, tmpdir_path):
                         checkpoint=ck, quarantine=(qpath, 600))
     assert read_quarantine(spark, qpath).count() == n_q
     assert all(r.get("skipped") or r["rows_applied"] == 0 for r in res)
+
+
+def test_history_sink_mode_alongside_merge_sink(spark, tmpdir_path):
+    """One stream feeding the current-state MERGE sink and an SCD2 history
+    sink in the same fan-out tree: the merge sink lands the oracle's final
+    state while the history sink keeps EVERY version (shared per-key dedup
+    must NOT kick in — it would erase the history's intermediate rows)."""
+    from embulk_filter_copy_spark.cdc.history import (
+        create_history_table,
+        read_history,
+        scd2_history,
+    )
+    from embulk_filter_copy_spark.cdc.splitter import SinkSpec
+
+    t, base = _bootstrap(spark, tmpdir_path, n_base=100, seed=77)
+    ev = gen_change_events(spark, 100, 500, seed=77, dup_rate=0.1)
+    log = os.path.join(tmpdir_path, "log")
+    write_event_log(ev, log, n_chunks=3)
+
+    hpath = os.path.join(tmpdir_path, "hist")
+    htable = create_history_table(
+        spark, hpath,
+        [(f, ty) for f, ty in REPO_FILES_SCHEMA],
+        key_cols=["repo", "path"], n_buckets=4,
+    )
+    sinks = [
+        SinkSpec(name="state", path=os.path.join(tmpdir_path, "tbl")),
+        SinkSpec(name="audit", path=hpath, mode="history"),
+    ]
+    results = replay_stream(
+        spark, log, sinks,
+        checkpoint=os.path.join(tmpdir_path, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert any(r.get("rows_appended") for r in results)
+    # merge sink: final-state parity with the pandas oracle
+    _parity(t, base, ev)
+    # history sink: equal to the one-shot SCD2 operator over the SAME log
+    # (transport duplicates collapse per (key, lsn) first — the operator's
+    # documented precondition)
+    data = ev.filter("op <> 'S'")
+    uniq = data.groupBy("repo", "path", "lsn").agg(
+        F.max_by(F.struct("commit", "lang", "content", "op"), "lsn").alias("w")
+    ).select("repo", "path", "lsn", "w.*")
+    want = scd2_history(uniq.select("repo", "path", "lsn", "commit", "lang", "content", "op"),
+                        ["repo", "path"])
+    got = read_history(htable)
+    cols = ["repo", "path", "commit", "valid_from_lsn", "valid_to_lsn", "is_current"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == \
+        sorted(map(tuple, want.select(*cols).collect()))
+    # restart with a finished checkpoint: no new versions, no new commits
+    v = htable.current_version()
+    replay_stream(spark, log, sinks,
+                  checkpoint=os.path.join(tmpdir_path, "ckpt"),
+                  max_files_per_trigger=1)
+    assert htable.current_version() == v
