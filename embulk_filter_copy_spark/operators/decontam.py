@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from embulk_filter_copy_spark.operators.dedup import ngram_shingles
-from embulk_filter_copy_spark.queries.common import spark_phash
+from embulk_filter_copy_spark.portable import spark_phash
 
 
 def _hashed(sh: DataFrame) -> DataFrame:

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from embulk_filter_copy_spark.queries.common import spark_phash
+from embulk_filter_copy_spark.portable import spark_phash
 
 # Bernoulli granularity: fraction is quantized to 1e-6 (documented — the
 # oracle must use the same modulus)
@@ -184,4 +184,59 @@ def mixture_sample(
         .withColumn("_thr", F.coalesce("_thr", F.lit(default_thr)))
         .filter(u < F.col("_thr"))
         .select(*df.columns)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with overlap — the
+    step between trusted corpus and trainer-shaped sequences (the sibling
+    of `pack_sequences`, which packs SHORT docs up; this cuts LONG docs
+    down).
+
+    Pure narrow JVM work (split → sequence → explode → slice): no shuffle,
+    no Python — chunking 100 TB is scan-speed. Chunk starts are
+    0, step, 2*step, … with ``step = chunk_tokens - overlap``; the last
+    window is emitted short rather than dropped (dropping the tail would
+    silently lose up to ``chunk_tokens - 1`` tokens per doc), and a doc
+    shorter than one chunk yields exactly one chunk. Deterministic: chunk
+    boundaries are pure functions of the text.
+
+    Returns (id, chunk_idx, chunk_n_tokens, chunk_text).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap} vs {chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    toks = f"split({text_col}, ' ')"
+    # start positions: every s in {0, step, 2*step, ...} with
+    # s <= n - overlap - 1 (plus s=0 always) — the last start still
+    # contributes >= overlap+1 unseen tokens, so no chunk is a suffix of
+    # its predecessor
+    starts = F.expr(
+        f"sequence(0, greatest(size({toks}) - {overlap} - 1, 0), {step})"
+    )
+    out = df.select(
+        id_col,
+        text_col,
+        F.size(F.expr(toks)).alias("_n"),
+        F.posexplode(starts).alias("chunk_idx", "_s"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_s")).alias(
+            "chunk_n_tokens"
+        ),
+        F.expr(
+            f"concat_ws(' ', slice(split({text_col}, ' '), _s + 1, {chunk_tokens}))"
+        ).alias("chunk_text"),
     )

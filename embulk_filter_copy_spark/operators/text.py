@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from embulk_filter_copy_spark.queries.common import spark_phash
+from embulk_filter_copy_spark.portable import spark_phash
 
 # tiny per-language stopword marker sets (n-gram heuristic); deliberately
 # deterministic and oracle-replayable

@@ -986,8 +986,35 @@ WHERE ({duck_phash('doc_id', 'mix:')} % {SA.HASH_MOD}) < ({thr})
 """
 
 
+# ------------------------------------------------- chunking
+def sample_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (16-token chunks, 4-token overlap): narrow
+    scan-speed JVM work; the last window is emitted short, tiny docs yield
+    one chunk."""
+    return SA.chunk_documents(t(spark, sf_dir, "documents"), 16, overlap=4)
+
+
+# DuckDB replay of the same start grid: s in range(0, greatest(n-overlap,1), step)
+CHUNK_SQL = """
+WITH g AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, unnest(range(0, greatest(n - 4, 1), 12)) AS st
+  FROM g
+)
+SELECT s.doc_id,
+       CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY st) - 1 AS INT) AS chunk_idx,
+       CAST(least(16, s.n - st) AS INT) AS chunk_n_tokens,
+       array_to_string(g.toks[st + 1 : st + 16], ' ') AS chunk_text
+FROM s JOIN g USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "sample_chunk_documents": (sample_chunk_documents, CHUNK_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, _minhash_sig_sql(8)),
     "dedup_minhash_pairs": (dedup_minhash_pairs, _minhash_pairs_sql()),
     "dedup_components": (dedup_components, _components_sql()),

@@ -291,3 +291,47 @@ def test_mixture_sample_subset_of_input_and_no_helper_cols(spark):
     )
     out = SA.mixture_sample(df, "grp", {"g0": 0.5}, key_col="doc_id")
     assert out.columns == df.columns
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "x y")],  # 10 toks / 2 toks
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["chunk_idx"]): r
+           for r in SA.chunk_documents(df, 4, overlap=2).collect()}
+    # doc 0: starts 0,2,4,6 (s <= n-overlap-1 = 7) -> 4 chunks, last short
+    d0 = [out[(0, i)] for i in range(4)]
+    assert [r["chunk_text"] for r in d0] == [
+        "a b c d", "c d e f", "e f g h", "g h i j",
+    ]
+    assert [r["chunk_n_tokens"] for r in d0] == [4, 4, 4, 4]
+    # doc 1 shorter than one chunk: exactly one (short) chunk
+    assert (1, 0) in out and out[(1, 0)]["chunk_text"] == "x y"
+    assert out[(1, 0)]["chunk_n_tokens"] == 2
+    assert len(out) == 5
+
+
+def test_chunk_documents_no_suffix_chunks_and_coverage(spark):
+    # 9 tokens, chunk 4, overlap 2 -> starts 0,2,4,6: last chunk 3 tokens;
+    # every token position covered, no chunk is a suffix of its predecessor
+    df = spark.createDataFrame([(0, "t0 t1 t2 t3 t4 t5 t6 t7 t8")],
+                               "doc_id long, text string")
+    rows = sorted(SA.chunk_documents(df, 4, overlap=2).collect(),
+                  key=lambda r: r["chunk_idx"])
+    covered = set()
+    for r in rows:
+        s = r["chunk_idx"] * 2
+        covered |= set(range(s, s + r["chunk_n_tokens"]))
+    assert covered == set(range(9))
+    texts = [r["chunk_text"] for r in rows]
+    assert all(not texts[i + 1].endswith(texts[i]) or len(texts[i + 1]) > len(texts[i])
+               for i in range(len(texts) - 1))
+
+
+def test_chunk_documents_validation(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        SA.chunk_documents(df, 0)
+    with pytest.raises(ValueError):
+        SA.chunk_documents(df, 4, overlap=4)
