@@ -281,6 +281,40 @@ def maintenance_throughput(spark, n_base: int, n_events: int, workdir: str) -> d
             "duration_sec": round(rescale_dur, 2),
             "rows_per_sec": round(resc["rows"] / rescale_dur, 1),
         },
+        "history": _history_throughput(spark, events, workdir),
+    }
+
+
+def _history_throughput(spark, events, workdir: str) -> dict:
+    """SCD2 version-store ingest: append-only epoch apply (the audit-sink
+    path) + the lead()-window history read. The apply is O(batch) with one
+    batch shuffle — at 100 TB it must track the merge sink's ingest rate."""
+    from pyspark.sql import functions as F
+
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+        read_history,
+    )
+
+    htable = create_history_table(
+        spark, os.path.join(workdir, "hist"),
+        [("repo", "string"), ("path", "string"), ("commit", "string"),
+         ("lang", "string"), ("content", "string")],
+        key_cols=["repo", "path"], n_buckets=2 * CPUS,
+    )
+    t0 = time.time()
+    res = apply_history_batch(htable, events, run_id="hist-bench", epoch=0)
+    apply_dur = max(time.time() - t0, 1e-9)
+    t0 = time.time()
+    n_open = read_history(htable).filter(F.col("is_current")).count()
+    read_dur = max(time.time() - t0, 1e-9)
+    return {
+        "versions_appended": res["rows_appended"],
+        "apply_duration_sec": round(apply_dur, 2),
+        "versions_per_sec": round(res["rows_appended"] / apply_dur, 1),
+        "read_open_versions": n_open,
+        "read_duration_sec": round(read_dur, 2),
     }
 
 
