@@ -100,6 +100,25 @@ def cmd_changes(args) -> None:
         feed.show(args.limit, truncate=False)
 
 
+def cmd_history(args) -> None:
+    """SCD2 view over a version-store table (`cdc/history.py`): the full
+    version history, or a point-in-time snapshot at --as-of-lsn."""
+    from embulk_filter_copy_spark.cdc.history import read_history, snapshot_as_of
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    view = read_history(table)
+    if args.as_of_lsn is not None:
+        view = snapshot_as_of(view, args.as_of_lsn)
+    if args.out:
+        view.write.mode("errorifexists").parquet(args.out)
+        rows = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows": rows, "out": args.out, "as_of_lsn": args.as_of_lsn}))
+    else:
+        view.show(args.limit, truncate=False)
+
+
 def cmd_rescale(args) -> None:
     from embulk_filter_copy_spark.lake.table import LakeTable
 
@@ -181,6 +200,12 @@ def main(argv: list[str] | None = None) -> None:
     ch.add_argument("--out", help="write the feed as parquet (else print)")
     ch.add_argument("--limit", type=int, default=20)
 
+    h = sub.add_parser("history", help="SCD2 view / point-in-time snapshot of a version store")
+    h.add_argument("--table", required=True)
+    h.add_argument("--as-of-lsn", type=int, default=None)
+    h.add_argument("--out", help="write the view as parquet (else print)")
+    h.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
     {
         "bootstrap": cmd_bootstrap,
@@ -189,6 +214,7 @@ def main(argv: list[str] | None = None) -> None:
         "rescale": cmd_rescale,
         "expire": cmd_expire,
         "changes": cmd_changes,
+        "history": cmd_history,
     }[args.cmd](args)
 
 

@@ -134,14 +134,29 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by n-gram-set Jaccard via an inverted-index join.
 
     ``max_doc_freq`` drops shingles appearing in more than that many docs
     (stop-shingle cut) — the knob that keeps join fan-out bounded on a
     100 TB corpus with hot shingles.
+
+    ``hash_shingles=True`` (default) replaces the shingle STRING with its
+    portable 60-bit hash before the distinct and the self-join, so every
+    shuffle in the pipeline (dedup, inverted-index join, doc-freq cut)
+    carries 8-byte longs instead of n-gram text — at 100 TB that is the
+    difference between shuffling ~25 bytes and 8 bytes per posting. A
+    collision (~n²/2^60 over DISTINCT shingles) can merge two shingles
+    globally; the DuckDB oracle replays the identical hash, so
+    cross-engine equality is exact regardless.
     """
-    sh = ngram_shingles(df, n, id_col, text_col, distinct=True)
+    sh = ngram_shingles(df, n, id_col, text_col, distinct=not hash_shingles)
+    if hash_shingles:
+        # hash FIRST, then dedup: the distinct shuffle itself rides on longs
+        sh = sh.select(
+            id_col, F.expr(spark_phash("sh", "jac:")).alias("sh")
+        ).distinct()
     if max_doc_freq is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_doc_freq).select("sh")
         sh = sh.join(hot, "sh", "left_anti")

@@ -176,10 +176,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_JACCARD_SQL = f"""
 WITH {_TOK_CTE},
-sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+hsh AS (SELECT DISTINCT doc_id, {duck_phash('tok', 'jac:')} AS h FROM tok),
+sizes AS (SELECT doc_id, count(*) AS sz FROM hsh GROUP BY doc_id),
 shared AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
-  FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  FROM hsh x JOIN hsh y ON x.h = y.h AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
 SELECT a, b, jaccard FROM (
@@ -197,10 +198,10 @@ def dedup_jaccard3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8, n=3)
 
 
-DEDUP_JACCARD3_SQL = """
+DEDUP_JACCARD3_SQL = f"""
 WITH g AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 tok AS (
-  SELECT DISTINCT doc_id, sh FROM (
+  SELECT DISTINCT doc_id, {duck_phash('sh', 'jac:')} AS h FROM (
     SELECT doc_id,
            unnest([array_to_string(toks[i:i+2], ' ')
                    FOR i IN range(1, greatest(len(toks) - 1, 2))]) AS sh
@@ -210,7 +211,7 @@ tok AS (
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
 shared AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
-  FROM tok x JOIN tok y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  FROM tok x JOIN tok y ON x.h = y.h AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
 SELECT a, b, jaccard FROM (

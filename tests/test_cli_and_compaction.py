@@ -241,3 +241,39 @@ def test_rescale_buckets_preserves_state_and_merging(spark, tmpdir_path):
 
     with pytest.raises(ValueError):
         t.rescale_buckets(0)
+
+
+def test_cli_history_view_and_snapshot(spark, tmpdir_path, capsys):
+    from embulk_filter_copy_spark import cli
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+    )
+
+    htable = create_history_table(
+        spark, os.path.join(tmpdir_path, "hist"),
+        [("repo", "string"), ("path", "string"), ("commit", "string"),
+         ("lang", "string"), ("content", "string")],
+        key_cols=["repo", "path"], n_buckets=2,
+    )
+    ev = gen_change_events(spark, 40, 200, seed=11)
+    apply_history_batch(htable, ev, run_id="clih", epoch=0)
+
+    out_p = os.path.join(tmpdir_path, "hist_out")
+    cli.main(["--master", "local[4]", "history", "--table", htable.path,
+              "--out", out_p])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0
+
+    mid = ev.agg(F.expr("percentile_approx(lsn, 0.5)")).first()[0]
+    snap_p = os.path.join(tmpdir_path, "hist_snap")
+    cli.main(["--master", "local[4]", "history", "--table", htable.path,
+              "--as-of-lsn", str(int(mid)), "--out", snap_p])
+    snap = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < snap["rows"] <= out["rows"]
+    # snapshot rows are versions live at that LSN
+    df = spark.read.parquet(snap_p)
+    assert df.filter(
+        (F.col("valid_from_lsn") > int(mid))
+        | ((F.col("valid_to_lsn").isNotNull()) & (F.col("valid_to_lsn") <= int(mid)))
+    ).count() == 0
