@@ -161,10 +161,80 @@ def apply_history_batch(
     LWW-deduped per (key, LSN) first (one shuffle over the BATCH, never the
     table). Whole-epoch replays are elided by the same (run, epoch) commit
     manifest the merge path uses; the append is O(batch).
+
+    Schema-change events (op='S' with a ``schema_change`` payload) evolve
+    the STORE's schema exactly like the merge sink (`cdc/apply.py`
+    sequencing): the batch splits at each DDL's LSN, each DDL is applied
+    via ``update_schema`` BEFORE the data events that follow it, and each
+    data range appends under the schema current at that point — so a
+    column added mid-epoch is recorded (not silently nulled) for every
+    version after the DDL, and the audit history preserves exactly what
+    the state table saw. Sub-units carry seq manifests (seq 1..n, DDL
+    idempotence via schema_lsn), gated by a final seq=0 marker.
     """
     if table.has_commit(run_id, epoch):
         return {"skipped": True, "run_id": run_id, "epoch": epoch}
     t0 = time.time()
+    import json
+
+    schema_events: list[tuple[int, dict]] = []
+    if "schema_change" in batch.columns:
+        schema_events = sorted(
+            (r[lsn_col], json.loads(r["schema_change"]))
+            for r in batch.filter(F.col(op_col) == "S")
+            .select(lsn_col, "schema_change")
+            .collect()
+        )
+    data = batch.filter(F.col(op_col) != F.lit("S"))
+
+    total = 0
+    if not schema_events:
+        # fast path (steady state): one append, the done marker IS its commit
+        ret = table.append(
+            _shape_versions(table, data, lsn_col, op_col),
+            commit={"run_id": run_id, "epoch": epoch, "seq": 0},
+        )
+        total = int(ret["rows"])
+    else:
+        bounds = [l for l, _ in schema_events]
+        ranges = []
+        lo = None
+        for b in bounds:
+            ranges.append((lo, b))
+            lo = b
+        ranges.append((lo, None))
+        seq = 0
+        for i, (rlo, rhi) in enumerate(ranges):
+            seq += 1
+            sub = data
+            if rlo is not None:
+                sub = sub.filter(F.col(lsn_col) > rlo)
+            if rhi is not None:
+                sub = sub.filter(F.col(lsn_col) < rhi)
+            if not table.has_commit(run_id, epoch, seq):
+                ret = table.append(
+                    _shape_versions(table, sub, lsn_col, op_col),
+                    commit={"run_id": run_id, "epoch": epoch, "seq": seq},
+                )
+                total += int(ret["rows"])
+            if i < len(schema_events):
+                s_lsn, change = schema_events[i]
+                table.update_schema(change, schema_lsn=s_lsn)
+        table.add_commit({"run_id": run_id, "epoch": epoch, "seq": 0})
+    return {
+        "skipped": False,
+        "run_id": run_id,
+        "epoch": epoch,
+        "rows_appended": total,
+        "duration_sec": time.time() - t0,
+    }
+
+
+def _shape_versions(
+    table: LakeTable, data: DataFrame, lsn_col: str, op_col: str
+) -> DataFrame:
+    """Shape data events into version rows under the store's CURRENT
+    schema (re-read per call — DDL sub-units see the post-DDL schema)."""
     from embulk_filter_copy_spark.lake.schema import spark_type
 
     keys = [c for c in table.key_columns if c != _VER_LSN]
@@ -174,14 +244,11 @@ def apply_history_batch(
     attr_names = {f.name for f in attr_fields}
     # only columns the store knows ride the shuffle struct — stream-envelope
     # extras (ts, schema_change) stay out of the payload
-    payload = [c for c in batch.columns if c in attr_names and c not in keys]
-    # schema-change events are not versions; the store's own schema evolves
-    # via LakeTable.update_schema like any sink
-    batch = batch.filter(F.col(op_col) != F.lit("S"))
+    payload = [c for c in data.columns if c in attr_names and c not in keys]
     is_del = F.col(op_col) == F.lit("D")
     # ONE shuffle over the BATCH: per-(key, lsn) LWW collapse of transport
     # duplicates + the op marker, never touching the table
-    versions = batch.groupBy(*keys, F.col(lsn_col).alias(_VER_LSN)).agg(
+    versions = data.groupBy(*keys, F.col(lsn_col).alias(_VER_LSN)).agg(
         F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(lsn_col)).alias("_w"),
         F.max(F.when(is_del, F.lit("D")).otherwise(F.lit("U"))).alias(_VER_OP),
     )
@@ -202,16 +269,7 @@ def apply_history_batch(
     out = versions.select(*out_cols, F.col(_VER_LSN), F.col(_VER_OP))
     # carry the LSN into the file meta column: footer min/max then powers
     # per-file LSN-range pruning in read_changes/high_lsn, same as the sink
-    out = out.withColumn("_lsn", F.col(_VER_LSN))
-    commit = {"run_id": run_id, "epoch": epoch, "seq": 0}
-    ret = table.append(out, commit=commit)
-    return {
-        "skipped": False,
-        "run_id": run_id,
-        "epoch": epoch,
-        "rows_appended": int(ret["rows"]),
-        "duration_sec": time.time() - t0,
-    }
+    return out.withColumn("_lsn", F.col(_VER_LSN))
 
 
 def read_history(table: LakeTable, version: int | None = None) -> DataFrame:

@@ -72,23 +72,35 @@ class LeafSink:
     mode: str = "merge"
 
 
-def flatten_specs(specs: list[SinkSpec] | SinkSpec, _prefix: str = "", _chain: tuple = ()) -> list[LeafSink]:
+def flatten_specs(
+    specs: list[SinkSpec] | SinkSpec,
+    _prefix: str = "",
+    _chain: tuple = (),
+    _mode: str = "merge",
+) -> list[LeafSink]:
     """Flatten a nested sink tree into leaf sinks with composed transforms —
-    parity with the reference's nested-copy flattening semantics."""
+    parity with the reference's nested-copy flattening semantics. ``mode``
+    follows the same inheritance rule as transforms: an interior node's
+    non-default mode becomes the default for every descendant (a leaf's own
+    non-default mode still wins), and an unknown mode raises on ANY node,
+    not just leaves."""
     if isinstance(specs, SinkSpec):
         specs = [specs]
     leaves: list[LeafSink] = []
     for s in specs:
         name = f"{_prefix}{s.name}"
+        if s.mode not in ("merge", "history"):
+            raise ValueError(f"unknown sink mode {s.mode!r} on {name!r}")
         chain = _chain + tuple(s.transforms)
+        mode = s.mode if s.mode != "merge" else _mode
         if s.path is not None:
-            if s.mode not in ("merge", "history"):
-                raise ValueError(f"unknown sink mode {s.mode!r} on {name!r}")
             leaves.append(
-                LeafSink(name=name, path=s.path, transforms=chain, mode=s.mode)
+                LeafSink(name=name, path=s.path, transforms=chain, mode=mode)
             )
         for c in s.children:
-            leaves.extend(flatten_specs(c, _prefix=f"{name}/", _chain=chain))
+            leaves.extend(
+                flatten_specs(c, _prefix=f"{name}/", _chain=chain, _mode=mode)
+            )
     return leaves
 
 

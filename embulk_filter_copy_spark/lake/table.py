@@ -494,9 +494,26 @@ class LakeTable:
         entries = self._write_data_files(df, f"c{snap['version']:08d}-{uuid.uuid4().hex[:8]}")
         snap["files"] = snap["files"] + entries
         if commit:
+            commit = self._fill_lsn_bounds(commit, entries)
             snap["commits"] = snap["commits"] + [dict(commit, committed_at=time.time())]
         self._write_snapshot(snap)
         return {"files_added": len(entries), "rows": sum(e["rows"] for e in entries)}
+
+    @staticmethod
+    def _fill_lsn_bounds(commit: dict, entries: list[dict]) -> dict:
+        """Default a commit's lsn_min/lsn_max from the written files' footer
+        stats (already collected — no extra job): append-path producers that
+        carry ``_lsn`` (e.g. the SCD2 version store) then advance
+        ``high_lsn()``, which ``read_changes`` relies on to prune
+        compaction-re-added rows. Callers that precompute bounds (the merge
+        path) are left untouched."""
+        if "lsn_max" in commit:
+            return commit
+        los = [e["lsn_min"] for e in entries if e.get("lsn_min") is not None]
+        his = [e["lsn_max"] for e in entries if e.get("lsn_max") is not None]
+        if not his:
+            return commit
+        return dict(commit, lsn_min=min(los) if los else None, lsn_max=max(his))
 
     def append_delta(self, df: DataFrame, commit: dict | None = None) -> dict:
         """Merge-on-read write path: append a per-key-unique delta batch
@@ -511,6 +528,7 @@ class LakeTable:
         )
         snap["files"] = snap["files"] + entries
         if commit:
+            commit = self._fill_lsn_bounds(commit, entries)
             snap["commits"] = snap["commits"] + [dict(commit, committed_at=time.time())]
         self._write_snapshot(snap)
         return {"files_added": len(entries), "rows": sum(e["rows"] for e in entries)}

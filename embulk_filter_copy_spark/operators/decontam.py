@@ -54,28 +54,42 @@ def ngram_overlap(
     """Per-doc decontamination stats vs a benchmark set.
 
     Returns (id, n_grams, n_hit_grams, contamination) for EVERY input doc —
-    zero-overlap docs included (the caller thresholds; a missing row is not
-    a clean doc, it's a bug). ``broadcast_bench=False`` falls back to a
-    shuffle join for the rare case of a benchmark set too large to
-    broadcast."""
+    zero-overlap AND empty/whitespace-only docs included (the caller
+    thresholds; a missing row is not a clean doc, it's a bug; an empty doc
+    has 0 grams and contamination 0.0). ``broadcast_bench=False`` falls
+    back to a shuffle join for the rare case of a benchmark set too large
+    to broadcast.
+
+    ONE pass over the corpus: the broadcast left-join marks bench hits
+    in-stream and a single aggregation counts grams and hits together —
+    the corpus is never scanned twice, never shuffled on shingles."""
     d = _hashed(ngram_shingles(docs, n, id_col, text_col, distinct=True))
-    b = _hashed(
-        ngram_shingles(bench, n, id_col, text_col, distinct=True)
-    ).select("h").distinct()
+    b = (
+        _hashed(ngram_shingles(bench, n, id_col, text_col, distinct=True))
+        .select("h")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
     if broadcast_bench:
         b = F.broadcast(b)
-    hits = (
-        d.join(b, "h")
+    stats = (
+        d.join(b, "h", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hit_grams"),
+        )
     )
-    sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        sizes.join(hits, id_col, "left")
-        .withColumn("n_hit_grams", F.coalesce("n_hit_grams", F.lit(0)))
-        .withColumn(
-            "contamination",
-            F.round(F.col("n_hit_grams") / F.col("n_grams"), 6),
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("n_hit_grams") / F.col("n_grams"), 6))
+            .alias("contamination"),
         )
     )
 
@@ -91,27 +105,47 @@ def duplicated_spans(
     A window position counts as duplicated when its window text occurs in
     at least one OTHER document (cross-doc duplication — a phrase repeated
     within one doc only is repetition, which `text.repetition_stats`
-    measures, not duplication). Two shuffles, both over (hash, count)
-    pairs: one to find cross-doc window hashes, one left-semi back onto
-    positions; with a broadcast of the duplicated-hash set when it is small
-    enough, the second collapses into the scan stage."""
+    measures, not duplication). Docs with no windows (empty text) get a
+    zero row, not a missing row.
+
+    The scan→shingle→hash pipeline runs ONCE: positions are collapsed to
+    per-(doc, window-hash) counts (one shuffle), materialized with
+    ``localCheckpoint`` because three consumers branch from it (cross-doc
+    hash set, duplicated-position sum, total-position sum) — without the
+    checkpoint each branch would re-shingle the corpus. Everything after
+    rides integer (hash, count) pairs."""
     pos = _hashed(ngram_shingles(df, w, id_col, text_col, distinct=False))
+    pc = (
+        pos.groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     cross = (
-        pos.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        pc.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    flagged = pos.join(cross, "h", "left_semi")
-    n_dup = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_dup_windows")
+    n_dup = (
+        pc.join(cross, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_dup_windows"))
     )
-    n_all = pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    n_all = pc.groupBy(id_col).agg(F.sum("c").alias("n_windows"))
     return (
-        n_all.join(n_dup, id_col, "left")
-        .withColumn("n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)))
-        .withColumn(
-            "dup_fraction",
-            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        df.select(id_col)
+        .join(n_all, id_col, "left")
+        .join(n_dup, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6
+                )
+            )
+            .alias("dup_fraction"),
         )
     )

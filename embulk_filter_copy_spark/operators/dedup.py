@@ -65,7 +65,12 @@ def ngram_shingles(
         f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)),"
         f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
     )
-    sh = df.select(id_col, F.explode(grams).alias("sh")).filter(F.col("sh") != "")
+    # drop grams made solely of empty tokens (whitespace runs / empty text
+    # make concat_ws emit separator-only strings) — trim catches those while
+    # keeping grams that contain any real token
+    sh = df.select(id_col, F.explode(grams).alias("sh")).filter(
+        F.trim(F.col("sh")) != ""
+    )
     return sh.distinct() if distinct else sh
 
 

@@ -176,7 +176,19 @@ def mixture_sample(
         raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
     spark = df.sparkSession
     rows = [(g, int(round(f * HASH_MOD))) for g, f in sorted(weights.items())]
-    wdf = spark.createDataFrame(rows, schema=f"{group_col} string, _thr long")
+    # the weight dim's group column inherits the DATA's type (string keys
+    # against an int column — or vice versa — would otherwise crash or
+    # silently join through casts)
+    from pyspark.sql import types as T
+
+    gtype = df.schema[group_col].dataType
+    wschema = T.StructType(
+        [
+            T.StructField(group_col, gtype, True),
+            T.StructField("_thr", T.LongType(), False),
+        ]
+    )
+    wdf = spark.createDataFrame(rows, schema=wschema)
     default_thr = int(round(default_fraction * HASH_MOD))
     u = F.expr(f"pmod({spark_phash(key_col, salt)}, {HASH_MOD})")
     return (

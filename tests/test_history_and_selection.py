@@ -335,3 +335,120 @@ def test_chunk_documents_validation(spark):
         SA.chunk_documents(df, 0)
     with pytest.raises(ValueError):
         SA.chunk_documents(df, 4, overlap=4)
+
+
+def test_history_store_compaction_preserves_view(spark, hist_table, changes):
+    """Per-epoch appends fragment the store (one file set per epoch);
+    compaction must fold them without disturbing version semantics —
+    valid_to derivation depends only on row CONTENT, which compaction
+    preserves."""
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        read_history,
+    )
+
+    for i, flt in enumerate(["lsn <= 2", "lsn in (3, 5)", "lsn > 5"]):
+        apply_history_batch(hist_table, changes.filter(flt), run_id="r", epoch=i)
+    before = sorted(map(tuple, read_history(hist_table).collect()))
+    files_before = len(hist_table.files())
+    res = hist_table.compact(max_files_per_bucket=1)
+    assert res["files_after"] < files_before
+    assert sorted(map(tuple, read_history(hist_table).collect())) == before
+
+
+# ---------------------------------------------------- review-pass fixes (r3)
+def test_history_commits_advance_high_lsn_and_change_feed_survives_compaction(
+    spark, hist_table, changes
+):
+    """Append commits must carry lsn bounds (from footer stats): high_lsn()
+    then prunes compaction-re-added rows out of read_changes, so a consumer
+    that saw epoch 0 never re-receives it after a compaction."""
+    from embulk_filter_copy_spark.cdc.history import apply_history_batch
+
+    apply_history_batch(hist_table, changes.filter("lsn <= 3"), run_id="r", epoch=0)
+    assert hist_table.high_lsn() == 3
+    v_consumed = hist_table.current_version()
+    # fragment + compact (rewrites every bucket, re-adding epoch-0 rows)
+    hist_table.compact(max_files_per_bucket=1)
+    apply_history_batch(hist_table, changes.filter("lsn > 3"), run_id="r", epoch=1)
+    assert hist_table.high_lsn() == 7
+    feed = hist_table.read_changes(since_version=v_consumed)
+    lsns = sorted(r["lsn"] for r in feed.select("lsn").collect())
+    assert lsns and min(lsns) > 3  # nothing from epoch 0 re-emitted
+
+
+def test_history_batch_applies_ddl_before_following_data(spark, tmp_path):
+    """A mid-epoch schema-change must evolve the STORE and record the new
+    column's values for every post-DDL version (not silently NULL them)."""
+    import json as _json
+
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+        read_history,
+    )
+
+    t = create_history_table(
+        spark, str(tmp_path / "h"),
+        [("k", "string"), ("v", "string")], key_cols=["k"], n_buckets=2,
+    )
+    ddl = _json.dumps({"action": "add", "column": "sz", "type": "long"})
+    rows = [
+        ("k1", 1, "U", "a", None, None),
+        ("k1", 4, "S", None, None, ddl),
+        ("k1", 5, "U", "b", 42, None),
+    ]
+    batch = spark.createDataFrame(
+        rows, "k string, lsn long, op string, v string, sz long, schema_change string"
+    )
+    apply_history_batch(t, batch, run_id="r", epoch=0)
+    assert any(f.name == "sz" for f in t.schema.fields)
+    h = {r["valid_from_lsn"]: r for r in read_history(t).collect()}
+    assert h[5]["sz"] == 42          # post-DDL value recorded
+    assert h[1]["sz"] is None        # pre-DDL version: column didn't exist
+    # epoch replay: fully gated, no duplicate versions
+    n = read_history(t).count()
+    assert apply_history_batch(t, batch, run_id="r", epoch=0)["skipped"]
+    assert read_history(t).count() == n
+
+
+def test_decontam_emits_rows_for_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, ""), (2, "   ")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "beta gamma delta")], "doc_id long, text string")
+    ov = {r["doc_id"]: r for r in DC.ngram_overlap(df, bench, n=3).collect()}
+    assert set(ov) == {0, 1, 2}
+    assert ov[1]["n_grams"] == 0 and ov[1]["contamination"] == 0.0
+    assert ov[2]["n_grams"] == 0 and ov[2]["contamination"] == 0.0
+    sp = {r["doc_id"]: r for r in DC.duplicated_spans(df, w=3).collect()}
+    assert set(sp) == {0, 1, 2}
+    assert sp[1]["n_windows"] == 0 and sp[1]["dup_fraction"] == 0.0
+
+
+def test_mixture_sample_int_group_column(spark):
+    df = spark.range(0, 300).select(
+        F.concat(F.lit("d"), "id").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("dom"),
+    )
+    out = SA.mixture_sample(df, "dom", {0: 1.0, 1: 0.0}, key_col="doc_id",
+                            default_fraction=0.5)
+    counts = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert counts[0] == 100 and 1 not in counts and 25 <= counts.get(2, 0) <= 75
+
+
+def test_sink_mode_inherits_from_interior_nodes(spark):
+    from embulk_filter_copy_spark.cdc.splitter import SinkSpec, flatten_specs
+
+    tree = SinkSpec(
+        name="audit", mode="history",
+        children=(SinkSpec(name="a", path="/p/a"),
+                  SinkSpec(name="b", path="/p/b", mode="merge")),
+    )
+    leaves = {l.name: l.mode for l in flatten_specs(tree)}
+    # inherited down; a leaf cannot opt back out with the default value
+    assert leaves == {"audit/a": "history", "audit/b": "history"}
+    with pytest.raises(ValueError):
+        flatten_specs(SinkSpec(name="x", mode="histroy",
+                               children=(SinkSpec(name="l", path="/p"),)))
