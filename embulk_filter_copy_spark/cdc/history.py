@@ -277,7 +277,21 @@ def read_history(table: LakeTable, version: int | None = None) -> DataFrame:
     ``valid_to_lsn``, delete markers close without emitting. One window
     shuffle — the same cost the batch operator pays, deferred to read;
     a consumer that reads the history often should materialize this view
-    with the lake writer and refresh it from `read_changes`."""
+    with the lake writer and refresh it from `read_changes`.
+
+    Robust to CROSS-epoch duplicate re-delivery: the per-batch dedup in
+    `apply_history_batch` cannot see a (key, LSN) an at-least-once
+    transport re-sends in a later epoch (two identical version rows land in
+    the store), so the view drops rows whose LSN equals their predecessor's
+    inside the SAME (key, LSN-ordered) window the interval derivation
+    already sorts — a lag() that costs no extra shuffle, only a second
+    window function over the existing sort."""
     keys = [c for c in table.key_columns if c != _VER_LSN]
     raw = table.read(version=version)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(_VER_LSN).asc()
+    )
+    raw = raw.withColumn("_prev_lsn", F.lag(F.col(_VER_LSN)).over(w)).filter(
+        F.col("_prev_lsn").isNull() | (F.col("_prev_lsn") != F.col(_VER_LSN))
+    ).drop("_prev_lsn")
     return scd2_history(raw, keys, lsn_col=_VER_LSN, op_col=_VER_OP, delete_op="D")
