@@ -452,3 +452,69 @@ def test_sink_mode_inherits_from_interior_nodes(spark):
     with pytest.raises(ValueError):
         flatten_specs(SinkSpec(name="x", mode="histroy",
                                children=(SinkSpec(name="l", path="/p"),)))
+
+
+# ------------------------------------------------- materialized history view
+def test_materialized_history_build_and_incremental_refresh(spark, tmp_path, changes):
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+        materialize_history,
+        materialized_store_version,
+        read_history,
+        refresh_history,
+    )
+
+    store = create_history_table(
+        spark, str(tmp_path / "s"), [("k", "string"), ("v", "string")],
+        key_cols=["k"], n_buckets=4,
+    )
+    apply_history_batch(store, changes.filter("lsn <= 3"), run_id="r", epoch=0)
+    dest = materialize_history(store, str(tmp_path / "view"))
+    cols = ["k", "v", "valid_from_lsn", "valid_to_lsn", "is_current"]
+
+    def rows(df):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    assert rows(dest.read()) == rows(read_history(store))
+
+    # idempotent at the same store version
+    assert refresh_history(store, dest)["skipped"]
+
+    # new epoch touches k1 only -> refresh rewrites only k1's bucket
+    apply_history_batch(store, changes.filter("lsn > 3"), run_id="r", epoch=1)
+    res = refresh_history(store, dest)
+    assert not res["skipped"] and len(res["buckets"]) == 1
+    assert rows(dest.read()) == rows(read_history(store))
+    assert materialized_store_version(dest) == store.current_version()
+    # the closed/open flags materialized correctly across the refresh
+    cur = {r["k"]: r["v"] for r in dest.read().filter("is_current").collect()}
+    assert cur == {"k1": "c", "k2": "x"}
+
+
+def test_refresh_rejects_mismatched_bucket_spec(spark, tmp_path, changes):
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+        refresh_history,
+    )
+    from embulk_filter_copy_spark.lake.schema import TableSchema
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    store = create_history_table(
+        spark, str(tmp_path / "s"), [("k", "string"), ("v", "string")],
+        key_cols=["k"], n_buckets=4,
+    )
+    apply_history_batch(store, changes, run_id="r", epoch=0)
+    bad = LakeTable.create(
+        spark, str(tmp_path / "bad"),
+        TableSchema.from_pairs(
+            [("k", "string"), ("v", "string"), ("valid_from_lsn", "long"),
+             ("valid_to_lsn", "long"), ("is_current", "boolean")]
+        ),
+        key_columns=["k", "valid_from_lsn"], n_buckets=8,  # wrong count
+        bucket_columns=["k"],
+    )
+    bad.add_commit({"run_id": "x", "epoch": 0, "store_version": 1})
+    with pytest.raises(ValueError):
+        refresh_history(store, bad)
