@@ -119,6 +119,25 @@ def cmd_history(args) -> None:
         view.show(args.limit, truncate=False)
 
 
+def cmd_materialize(args) -> None:
+    """Build (or incrementally refresh) the read-optimized materialized
+    SCD2 view of a version store."""
+    from embulk_filter_copy_spark.cdc.history import (
+        materialize_history,
+        refresh_history,
+    )
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    store = LakeTable.load(spark, args.store)
+    if LakeTable.exists(args.view):
+        res = refresh_history(store, LakeTable.load(spark, args.view))
+    else:
+        dest = materialize_history(store, args.view)
+        res = {"built": True, "rows": dest.row_count()}
+    print(json.dumps(res))
+
+
 def cmd_rescale(args) -> None:
     from embulk_filter_copy_spark.lake.table import LakeTable
 
@@ -206,6 +225,10 @@ def main(argv: list[str] | None = None) -> None:
     h.add_argument("--out", help="write the view as parquet (else print)")
     h.add_argument("--limit", type=int, default=20)
 
+    m = sub.add_parser("materialize", help="build or refresh the materialized SCD2 view")
+    m.add_argument("--store", required=True, help="version-store table root")
+    m.add_argument("--view", required=True, help="materialized view table root")
+
     args = p.parse_args(argv)
     {
         "bootstrap": cmd_bootstrap,
@@ -215,6 +238,7 @@ def main(argv: list[str] | None = None) -> None:
         "expire": cmd_expire,
         "changes": cmd_changes,
         "history": cmd_history,
+        "materialize": cmd_materialize,
     }[args.cmd](args)
 
 

@@ -169,3 +169,78 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             f"array_min(transform({grams}, g -> {h}))"
         ).alias("fingerprint"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style corpus-statistics quality score: the mean unigram
+    log-probability of each document under the corpus's OWN unigram model
+    (add-one smoothed). Documents whose tokens are rare relative to the
+    corpus (garbled text, wrong-language fragments, binary spill) score
+    low; fluent in-distribution text scores high. The standard cheap stand-
+    in for a KenLM perplexity filter when no external LM is available.
+
+    Distributed shape: token counts aggregate map-side (shuffle carries
+    (token, count), never text); the vocabulary table is BROADCAST back
+    onto the token stream (a 10^7-type vocab is ~100 MB — broadcastable;
+    beyond that pass ``vocab`` pre-aggregated from a sample). One scan of
+    the corpus feeds both the vocab build and the scoring join via an
+    explode that Catalyst re-reads from the parquet scan, not a cache.
+
+    Returns (id, n_tokens, mean_logprob) with natural-log probabilities
+    (unrounded — callers comparing across engines round with the shared
+    eps grid); docs with no tokens get mean_logprob NULL (no evidence,
+    not "bad").
+
+    ``vocab``: optional precomputed (tok, cnt) frame — the fit/transform
+    split a pipeline uses to score a shard under the FULL corpus model or
+    to freeze the model across incremental runs.
+    """
+    tok_pos = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    if vocab is None:
+        vocab = tok_pos.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # add-one smoothing over the observed vocabulary: p(t) = (c_t + 1) / (N + V)
+    totals = vocab.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    lp = (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.log(
+                (F.col("cnt") + 1) / (F.col("n_total") + F.col("v_size"))
+            ).alias("_lp"),
+        )
+    )
+    # tokens outside the vocabulary (only possible with a frozen ``vocab``)
+    # take the smoothed unknown mass log(1 / (N + V)) instead of silently
+    # dropping out of the average
+    scored = (
+        tok_pos.join(F.broadcast(lp), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.coalesce(
+                "_lp", -F.log(F.col("n_total") + F.col("v_size"))
+            ).alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_lp").alias("mean_logprob"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("mean_logprob"),
+        )
+    )

@@ -1056,3 +1056,34 @@ QUERIES = {
     "sample_assign_shards": (sample_assign_shards, ASSIGN_SHARDS_SQL),
     "sample_mixture_weights": (sample_mixture_weights, _mixture_sql()),
 }
+
+
+# ------------------------------------------------- corpus-LM quality
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability of each doc under the corpus's own
+    add-one-smoothed unigram model (the KenLM-free CCNet-style quality
+    signal)."""
+    out = TX.unigram_logprob(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", reps(F.col("mean_logprob"), 6).alias("mean_logprob")
+    )
+
+
+UNIGRAM_LP_SQL = """
+WITH tokp AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM tokp GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n_total, count(*) AS v_size FROM vocab),
+lp AS (SELECT tok, ln((cnt + 1)::DOUBLE / (n_total + v_size)) AS lp FROM vocab, tot),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens, round(avg(lp) + 1e-9, 6) AS mean_logprob
+  FROM tokp JOIN lp USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens, per.mean_logprob
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+QUERIES["text_unigram_logprob"] = (text_unigram_logprob, UNIGRAM_LP_SQL)

@@ -277,3 +277,35 @@ def test_cli_history_view_and_snapshot(spark, tmpdir_path, capsys):
         (F.col("valid_from_lsn") > int(mid))
         | ((F.col("valid_to_lsn").isNotNull()) & (F.col("valid_to_lsn") <= int(mid)))
     ).count() == 0
+
+
+def test_cli_materialize_build_then_refresh(spark, tmpdir_path, capsys):
+    from embulk_filter_copy_spark import cli
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+    )
+
+    store = create_history_table(
+        spark, os.path.join(tmpdir_path, "store"),
+        [("repo", "string"), ("path", "string"), ("commit", "string"),
+         ("lang", "string"), ("content", "string")],
+        key_cols=["repo", "path"], n_buckets=4,
+    )
+    ev = gen_change_events(spark, 40, 200, seed=21)
+    apply_history_batch(store, ev.filter("lsn <= 100"), run_id="m", epoch=0)
+
+    view = os.path.join(tmpdir_path, "view")
+    cli.main(["--master", "local[4]", "materialize", "--store", store.path, "--view", view])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out.get("built") and out["rows"] > 0
+
+    # second run without new store commits: idempotent refresh
+    cli.main(["--master", "local[4]", "materialize", "--store", store.path, "--view", view])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out.get("skipped")
+
+    apply_history_batch(store, ev.filter("lsn > 100"), run_id="m", epoch=1)
+    cli.main(["--master", "local[4]", "materialize", "--store", store.path, "--view", view])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out.get("skipped") and out["rows"] > 0

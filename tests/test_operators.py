@@ -603,3 +603,44 @@ def test_repetition_stats_hand_computed(spark):
     assert abs(got[1]["top_bigram_frac"] - 2 / 3) < 1e-12   # 'x y' twice of 3
     assert got[2]["top_token_frac"] == 1.0
     assert got[2]["top_bigram_frac"] is None                # no bigrams
+
+
+def test_unigram_logprob_ranks_in_distribution_text_higher(spark):
+    from embulk_filter_copy_spark.operators import text as TX2
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha beta alpha beta"),   # common tokens
+            (1, "alpha beta gamma alpha beta gamma"),
+            (2, "zzqx wvvk pqrst zzyy mnopq hjkl"),    # all-rare garble
+            (3, ""),                                   # empty: no evidence
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX2.unigram_logprob(df).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["mean_logprob"] > out[2]["mean_logprob"]
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+    assert out[3]["n_tokens"] == 0 and out[3]["mean_logprob"] is None
+    # frozen-vocab scoring: score doc 2 under a vocab that has seen it a lot
+    from pyspark.sql import functions as F2
+
+    vocab = spark.createDataFrame(
+        [("zzqx", 100), ("wvvk", 100), ("pqrst", 100), ("zzyy", 100),
+         ("mnopq", 100), ("hjkl", 100), ("alpha", 1)],
+        "tok string, cnt long",
+    )
+    frozen = {r["doc_id"]: r for r in TX2.unigram_logprob(df, vocab=vocab).collect()}
+    assert frozen[2]["mean_logprob"] > frozen[0]["mean_logprob"]
+
+
+def test_unigram_logprob_unknown_tokens_get_smoothed_mass(spark):
+    from embulk_filter_copy_spark.operators import text as TX2
+
+    df = spark.createDataFrame([(0, "known unknown")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("known", 99)], "tok string, cnt long")
+    row = TX2.unigram_logprob(df, vocab=vocab).collect()[0]
+    import math
+    # p(known) = 100/100, p(unknown) = 1/100 -> mean = (0 + ln(0.01)) / 2
+    assert row["n_tokens"] == 2
+    assert abs(row["mean_logprob"] - (math.log(100 / 100) + math.log(1 / 100)) / 2) < 1e-9
