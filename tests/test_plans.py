@@ -221,3 +221,33 @@ def test_history_append_plan_single_batch_shuffle(spark, tmpdir_path):
     assert "hashpartitioning" in p  # keyed on (repo, path, lsn)
     # partial (map-side) + final aggregation around that one shuffle
     assert "partial_max_by" in p
+
+
+def test_materialized_view_as_of_filter_reaches_scan(spark, tmpdir_path):
+    """snapshot_as_of over the MATERIALIZED view must push its interval
+    predicate into the parquet scan (footer min/max skipping on
+    valid_from_lsn once files are LSN-sorted) — the live view can't do
+    this (its intervals are window-derived after the scan)."""
+    import os
+
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+        materialize_history,
+        snapshot_as_of,
+    )
+    from embulk_filter_copy_spark.fixtures import gen_change_events
+
+    store = create_history_table(
+        spark, os.path.join(tmpdir_path, "s"),
+        [("repo", "string"), ("path", "string"), ("commit", "string"),
+         ("lang", "string"), ("content", "string")],
+        key_cols=["repo", "path"], n_buckets=2,
+    )
+    ev = gen_change_events(spark, 30, 150, seed=7)
+    apply_history_batch(store, ev, run_id="p", epoch=0)
+    dest = materialize_history(store, os.path.join(tmpdir_path, "v"))
+    p = plan(snapshot_as_of(dest.read(), 75))
+    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters", 1)[1][:300]
+    assert "valid_from_lsn" in pushed
