@@ -40,6 +40,8 @@ from pyspark.sql import functions as F
 from embulk_filter_copy_spark.lake.schema import TableSchema
 from embulk_filter_copy_spark.lake.table import LakeTable
 
+from embulk_filter_copy_spark.cdc.apply import _write_lineage
+
 
 def scd2_history(
     changes: DataFrame,
@@ -188,6 +190,7 @@ def apply_history_batch(
     data = batch.filter(F.col(op_col) != F.lit("S"))
 
     total = 0
+    lineage: list[dict] = []
     if not schema_events:
         # fast path (steady state): one append, the done marker IS its commit
         ret = table.append(
@@ -195,6 +198,7 @@ def apply_history_batch(
             commit={"run_id": run_id, "epoch": epoch, "seq": 0},
         )
         total = int(ret["rows"])
+        lineage = _file_lineage(ret)
     else:
         bounds = [l for l, _ in schema_events]
         ranges = []
@@ -217,17 +221,34 @@ def apply_history_batch(
                     commit={"run_id": run_id, "epoch": epoch, "seq": seq},
                 )
                 total += int(ret["rows"])
+                lineage += _file_lineage(ret)
             if i < len(schema_events):
                 s_lsn, change = schema_events[i]
                 table.update_schema(change, schema_lsn=s_lsn)
         table.add_commit({"run_id": run_id, "epoch": epoch, "seq": 0})
+    dur = max(time.time() - t0, 1e-9)
+    # per-file lineage (bucket + LSN range + rows, straight from footer
+    # stats — zero extra jobs) + epoch metrics: the same resume/audit trail
+    # the merge path writes, so a history sink is replay-inspectable too
+    _write_lineage(
+        table, run_id, epoch, 0, lineage,
+        {"rows": total, "duration_sec": dur, "events_per_sec": total / dur},
+    )
     return {
         "skipped": False,
         "run_id": run_id,
         "epoch": epoch,
         "rows_appended": total,
-        "duration_sec": time.time() - t0,
+        "duration_sec": dur,
     }
+
+
+def _file_lineage(append_ret: dict) -> list[dict]:
+    return [
+        {"bucket": e["bucket"], "rows": e["rows"],
+         "lsn_min": e.get("lsn_min"), "lsn_max": e.get("lsn_max")}
+        for e in append_ret.get("entries", [])
+    ]
 
 
 def _shape_versions(

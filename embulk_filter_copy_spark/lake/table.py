@@ -497,7 +497,8 @@ class LakeTable:
             commit = self._fill_lsn_bounds(commit, entries)
             snap["commits"] = snap["commits"] + [dict(commit, committed_at=time.time())]
         self._write_snapshot(snap)
-        return {"files_added": len(entries), "rows": sum(e["rows"] for e in entries)}
+        return {"files_added": len(entries), "rows": sum(e["rows"] for e in entries),
+                "entries": entries}
 
     @staticmethod
     def _fill_lsn_bounds(commit: dict, entries: list[dict]) -> dict:

@@ -518,3 +518,18 @@ def test_refresh_rejects_mismatched_bucket_spec(spark, tmp_path, changes):
     bad.add_commit({"run_id": "x", "epoch": 0, "store_version": 1})
     with pytest.raises(ValueError):
         refresh_history(store, bad)
+
+
+def test_history_appends_write_per_file_lineage(spark, hist_table, changes):
+    from embulk_filter_copy_spark.cdc.apply import read_lineage
+    from embulk_filter_copy_spark.cdc.history import apply_history_batch
+
+    apply_history_batch(hist_table, changes.filter("lsn <= 3"), run_id="r", epoch=0)
+    apply_history_batch(hist_table, changes.filter("lsn > 3"), run_id="r", epoch=1)
+    lin = read_lineage(hist_table)
+    assert len(lin) == 2
+    e0 = next(l for l in lin if l["epoch"] == 0)
+    assert e0["rows"] == 3 and e0["events_per_sec"] > 0
+    # per-file entries carry bucket + LSN range from footer stats
+    assert all("bucket" in p and p["lsn_max"] is not None for p in e0["partitions"])
+    assert max(p["lsn_max"] for p in e0["partitions"]) == 3
