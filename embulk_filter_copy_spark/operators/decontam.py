@@ -149,3 +149,68 @@ def duplicated_spans(
             .alias("dup_fraction"),
         )
     )
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    w: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """REMOVE cross-document duplicated spans from each document (the
+    removal step of suffix-array substring dedup — Lee et al. — in the
+    window-hash approximation `duplicated_spans` measures): every token
+    covered by at least one w-token window that also occurs in another
+    document is dropped, and the survivors are re-joined in order.
+
+    Distributed shape: the window-position pipeline of
+    :func:`duplicated_spans` (shuffles only integer hashes) finds the
+    duplicated START positions per doc; those collapse to one small
+    per-doc array (`collect_list` — bounded by doc length, not corpus
+    size), which flows back onto the doc row where pure ARRAY expressions
+    (sequence → flatten → filter by index) rebuild the text. No token ever
+    shuffles; the only per-doc state is the duplicated-start list.
+
+    Returns (id, text_trimmed, n_tokens, n_tokens_removed). Docs with no
+    duplicated spans pass through unchanged.
+    """
+    toks = f"split({text_col}, ' ')"
+    grams = F.expr(
+        f"transform(sequence(0, greatest(size({toks}) - {w}, 0)),"
+        f" i -> concat_ws(' ', slice({toks}, i + 1, {w})))"
+    )
+    pos = (
+        df.select(id_col, F.posexplode(grams).alias("i", "sh"))
+        .filter(F.trim(F.col("sh")) != "")
+        .withColumn("h", F.expr(spark_phash("sh", "dc:")))
+        .drop("sh")
+    )
+    cross = (
+        pos.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    starts = (
+        pos.join(cross, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("i").alias("_starts"))
+    )
+    joined = df.join(starts, id_col, "left")
+    covered = F.expr(
+        f"array_distinct(flatten(transform(coalesce(_starts, array()),"
+        f" s -> sequence(s, s + {w} - 1))))"
+    )
+    out = joined.withColumn("_cov", covered).select(
+        id_col,
+        F.expr(
+            f"concat_ws(' ', transform(filter("
+            f"  transform({toks}, (t, idx) -> struct(idx as idx, t as t)),"
+            f"  p -> NOT array_contains(_cov, p.idx)), p -> p.t))"
+        ).alias("text_trimmed"),
+        F.size(F.expr(toks)).alias("n_tokens"),
+        F.expr(
+            f"size(filter(_cov, c -> c < size({toks})))"
+        ).alias("n_tokens_removed"),
+    )
+    return out

@@ -1087,3 +1087,63 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per ON per.doc_id = d.doc_id
 """
 
 QUERIES["text_unigram_logprob"] = (text_unigram_logprob, UNIGRAM_LP_SQL)
+
+
+# ------------------------------------------------- span removal
+def dedup_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove cross-doc duplicated 3-token spans from every document (the
+    removal step of substring dedup, window-hash approximation)."""
+    from embulk_filter_copy_spark.operators import decontam as DC
+
+    return DC.trim_duplicated_spans(t(spark, sf_dir, "documents"), w=3)
+
+
+# DuckDB replay: same window starts / hash, covered = union of [s, s+2]
+# 0-based token indices, kept tokens re-joined in order.
+TRIM_SPANS_SQL = f"""
+WITH g AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+posu AS (
+  SELECT doc_id,
+         unnest([{{'s': i - 1, 'sh': array_to_string(toks[i:i+2], ' ')}}
+                 FOR i IN range(1, greatest(len(toks) - 1, 2))]) AS u
+  FROM g
+),
+pos AS (
+  SELECT doc_id, u.s AS s, {duck_phash("u.sh", 'dc:')} AS h
+  FROM posu WHERE trim(u.sh) <> ''
+),
+cross_h AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY h)
+            WHERE nd >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, s + unnest([0, 1, 2]) AS idx
+  FROM pos WHERE h IN (SELECT h FROM cross_h)
+),
+toku AS (
+  SELECT doc_id, unnest([{{'idx': i - 1, 'tok': toks[i]}}
+                         FOR i IN range(1, len(toks) + 1)]) AS u
+  FROM g
+),
+tokpos AS (SELECT doc_id, u.idx AS idx, u.tok AS tok FROM toku),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM tokpos t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.idx = t.idx
+  WHERE cov.idx IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_trimmed
+  FROM kept GROUP BY doc_id
+),
+removed AS (
+  SELECT c.doc_id, count(*) AS n_removed
+  FROM cov c JOIN g ON g.doc_id = c.doc_id
+  WHERE c.idx < len(g.toks) GROUP BY c.doc_id
+)
+SELECT g.doc_id,
+       coalesce(agg.text_trimmed, '') AS text_trimmed,
+       CAST(len(g.toks) AS INT) AS n_tokens,
+       CAST(coalesce(removed.n_removed, 0) AS INT) AS n_tokens_removed
+FROM g LEFT JOIN agg ON agg.doc_id = g.doc_id
+LEFT JOIN removed ON removed.doc_id = g.doc_id
+"""
+
+QUERIES["dedup_trim_spans"] = (dedup_trim_spans, TRIM_SPANS_SQL)

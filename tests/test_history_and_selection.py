@@ -533,3 +533,35 @@ def test_history_appends_write_per_file_lineage(spark, hist_table, changes):
     # per-file entries carry bucket + LSN range from footer stats
     assert all("bucket" in p and p["lsn_max"] is not None for p in e0["partitions"])
     assert max(p["lsn_max"] for p in e0["partitions"]) == 3
+
+
+def test_trim_duplicated_spans_removes_shared_not_unique(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "x y z unique0 tail0 words0"),
+            (1, "pre1 x y z post1 more1"),
+            (2, "all original text here nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DC.trim_duplicated_spans(df, w=3).collect()}
+    # the shared 'x y z' window is removed from both docs
+    assert out[0]["text_trimmed"] == "unique0 tail0 words0"
+    assert out[0]["n_tokens"] == 6 and out[0]["n_tokens_removed"] == 3
+    # only the shared window's tokens (x y z) go; pre1/post1 survive
+    assert out[1]["text_trimmed"] == "pre1 post1 more1"
+    assert out[1]["n_tokens_removed"] == 3
+    # untouched doc passes through verbatim with zero removed
+    assert out[2]["text_trimmed"] == df.collect()[2]["text"]
+    assert out[2]["n_tokens_removed"] == 0
+
+
+def test_trim_spans_overlapping_windows_union_coverage(spark):
+    # docs share two overlapping trigrams 'a b c' and 'b c d' -> coverage
+    # union is tokens a..d, counted once each
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "z a b c d y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DC.trim_duplicated_spans(df, w=3).collect()}
+    assert out[0]["text_trimmed"] == "e f" and out[0]["n_tokens_removed"] == 4
