@@ -394,6 +394,20 @@ def refresh_history(store: LakeTable, dest: LakeTable, run_id: str = "mat") -> d
     if cur <= since:
         return {"skipped": True, "store_version": since}
     t0 = time.time()
+    # follow the store's schema evolution: an attribute column the store
+    # gained via DDL since the last refresh must appear in the view too —
+    # silently projecting it away would lose post-DDL data from the
+    # materialized history (the same defect class the history sink fixed).
+    # Adds are applied by name/type; the store's field-id projection has
+    # already resolved renames/widens into its current read schema.
+    dest_names = {f.name for f in dest.schema.fields}
+    for sf in store.schema.fields:
+        if sf.name in (_VER_OP,) or sf.name in dest_names:
+            continue
+        dest.update_schema(
+            {"action": "add", "column": sf.name, "type": sf.type},
+            schema_lsn=dest.schema_lsn + 1,
+        )
     changed = (
         store.read_changes(since_version=since).select(*keys).distinct()
     ).localCheckpoint()  # small (changed keys only); 3 consumers below

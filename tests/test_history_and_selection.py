@@ -565,3 +565,44 @@ def test_trim_spans_overlapping_windows_union_coverage(spark):
     )
     out = {r["doc_id"]: r for r in DC.trim_duplicated_spans(df, w=3).collect()}
     assert out[0]["text_trimmed"] == "e f" and out[0]["n_tokens_removed"] == 4
+
+
+def test_refresh_follows_store_schema_evolution(spark, tmp_path):
+    """A column added to the store via DDL after the view was built must
+    appear (with its values) in the refreshed view, not be silently
+    projected away."""
+    import json as _json
+
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+        materialize_history,
+        read_history,
+        refresh_history,
+    )
+
+    store = create_history_table(
+        spark, str(tmp_path / "s"), [("k", "string"), ("v", "string")],
+        key_cols=["k"], n_buckets=2,
+    )
+    b0 = spark.createDataFrame(
+        [("k1", 1, "U", "a", None, None)],
+        "k string, lsn long, op string, v string, sz long, schema_change string",
+    )
+    apply_history_batch(store, b0, run_id="r", epoch=0)
+    dest = materialize_history(store, str(tmp_path / "view"))
+    assert not any(f.name == "sz" for f in dest.schema.fields)
+
+    ddl = _json.dumps({"action": "add", "column": "sz", "type": "long"})
+    b1 = spark.createDataFrame(
+        [("k1", 4, "S", None, None, ddl), ("k1", 5, "U", "b", 42, None)],
+        "k string, lsn long, op string, v string, sz long, schema_change string",
+    )
+    apply_history_batch(store, b1, run_id="r", epoch=1)
+    refresh_history(store, dest)
+    assert any(f.name == "sz" for f in dest.schema.fields)
+    got = {r["valid_from_lsn"]: r for r in dest.read().collect()}
+    assert got[5]["sz"] == 42 and got[1]["sz"] is None
+    cols = ["k", "v", "sz", "valid_from_lsn", "valid_to_lsn", "is_current"]
+    assert sorted(map(tuple, dest.read().select(*cols).collect())) == \
+        sorted(map(tuple, read_history(store).select(*cols).collect()))
