@@ -168,8 +168,23 @@ def trim_duplicated_spans(
     duplicated START positions per doc; those collapse to one small
     per-doc array (`collect_list` — bounded by doc length, not corpus
     size), which flows back onto the doc row where pure ARRAY expressions
-    (sequence → flatten → filter by index) rebuild the text. No token ever
-    shuffles; the only per-doc state is the duplicated-start list.
+    rebuild the text. No token ever shuffles; the only per-doc state is the
+    duplicated-start list.
+
+    The position frame is ``localCheckpoint``-ed because TWO consumers
+    branch from it (the cross-doc duplicated-hash set and the start
+    semi-join) — without it each branch re-shingles the corpus, a second
+    full scan at 100 TB (the same rule `duplicated_spans` applies to its
+    3-way branch).
+
+    The rebuild is linear in doc length: duplicated starts are first merged
+    into DISJOINT coverage intervals (one `aggregate` fold over the sorted
+    start list — the interval list is tiny, bounded by #duplicated spans),
+    and each token index is tested against the merged intervals, so a
+    100k-token mostly-covered doc costs O(n_tokens x #intervals), not the
+    O(n_tokens x covered_positions) an exploded position-set membership
+    test would (quadratic exactly on the boilerplate-heavy docs this
+    operator targets).
 
     Returns (id, text_trimmed, n_tokens, n_tokens_removed). Docs with no
     duplicated spans pass through unchanged.
@@ -184,6 +199,7 @@ def trim_duplicated_spans(
         .filter(F.trim(F.col("sh")) != "")
         .withColumn("h", F.expr(spark_phash("sh", "dc:")))
         .drop("sh")
+        .localCheckpoint()  # 2 consumers below — ONE shingle pass, not two
     )
     cross = (
         pos.groupBy("h")
@@ -197,20 +213,33 @@ def trim_duplicated_spans(
         .agg(F.collect_list("i").alias("_starts"))
     )
     joined = df.join(starts, id_col, "left")
-    covered = F.expr(
-        f"array_distinct(flatten(transform(coalesce(_starts, array()),"
-        f" s -> sequence(s, s + {w} - 1))))"
+    # merge sorted duplicated starts into disjoint [lo, hi] token intervals:
+    # overlapping/adjacent windows coalesce, so the membership test below is
+    # O(#intervals) per token instead of O(#covered positions)
+    intervals = F.expr(
+        f"aggregate(array_sort(coalesce(_starts, array())),"
+        f" cast(array() as array<struct<lo:int,hi:int>>),"
+        f" (acc, s) -> CASE"
+        f"   WHEN size(acc) > 0 AND s <= element_at(acc, -1).hi + 1 THEN"
+        f"     concat(slice(acc, 1, size(acc) - 1),"
+        f"            array(named_struct('lo', element_at(acc, -1).lo,"
+        f"                  'hi', greatest(element_at(acc, -1).hi, s + {w - 1}))))"
+        f"   ELSE concat(acc, array(named_struct('lo', s, 'hi', s + {w - 1})))"
+        f" END)"
     )
-    out = joined.withColumn("_cov", covered).select(
+    out = joined.withColumn("_ivl", intervals).select(
         id_col,
         F.expr(
             f"concat_ws(' ', transform(filter("
             f"  transform({toks}, (t, idx) -> struct(idx as idx, t as t)),"
-            f"  p -> NOT array_contains(_cov, p.idx)), p -> p.t))"
+            f"  p -> NOT exists(_ivl, v -> p.idx >= v.lo AND p.idx <= v.hi)),"
+            f" p -> p.t))"
         ).alias("text_trimmed"),
         F.size(F.expr(toks)).alias("n_tokens"),
+        # disjoint intervals → removed count = sum of clipped interval widths
         F.expr(
-            f"size(filter(_cov, c -> c < size({toks})))"
+            f"aggregate(_ivl, 0, (acc, v) ->"
+            f" acc + greatest(0, least(v.hi, size({toks}) - 1) - v.lo + 1))"
         ).alias("n_tokens_removed"),
     )
     return out

@@ -567,6 +567,41 @@ def test_trim_spans_overlapping_windows_union_coverage(spark):
     assert out[0]["text_trimmed"] == "e f" and out[0]["n_tokens_removed"] == 4
 
 
+def test_trim_spans_single_shingle_pass(spark):
+    """The position frame is checkpointed: the downstream plan must contain
+    NO Generate (posexplode) node — re-deriving it would re-shingle the
+    corpus, a second full scan at 100 TB."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "z a b c y")], "doc_id long, text string"
+    )
+    out = DC.trim_duplicated_spans(df, w=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Generate" not in buf.getvalue()
+
+
+def test_trim_spans_long_mostly_duplicated_doc(spark):
+    """A long, heavily-duplicated doc must trim in one interval pass — the
+    old exploded-position membership test was O(n_tokens x covered) and
+    crawled here. 20k tokens, ~all covered -> a handful of merged
+    intervals, linear rebuild."""
+    shared = " ".join(f"t{i % 37}x{i % 101}" for i in range(20_000))
+    df = spark.createDataFrame(
+        [(0, shared + " tail0 only0 here0"), (1, shared + " other1 ending1")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DC.trim_duplicated_spans(df, w=20).collect()}
+    # the shared 20k-token prefix is fully covered; the unique tails survive
+    assert out[0]["n_tokens"] == 20_003
+    assert out[0]["n_tokens_removed"] >= 20_000 - 20
+    assert out[0]["text_trimmed"].endswith("tail0 only0 here0")
+    assert out[1]["text_trimmed"].endswith("other1 ending1")
+
+
 def test_refresh_follows_store_schema_evolution(spark, tmp_path):
     """A column added to the store via DDL after the view was built must
     appear (with its values) in the refreshed view, not be silently
