@@ -208,6 +208,7 @@ def apply_history_batch(
             lo = b
         ranges.append((lo, None))
         seq = 0
+        resumed = False
         for i, (rlo, rhi) in enumerate(ranges):
             seq += 1
             sub = data
@@ -222,6 +223,15 @@ def apply_history_batch(
                 )
                 total += int(ret["rows"])
                 lineage += _file_lineage(ret)
+            else:
+                # crash-resume: the sub-unit's data is already committed, so
+                # recover its per-file lineage from the snapshot diff instead
+                # of dropping it — the epoch's lineage record (and its rows
+                # metric) must cover the WHOLE epoch, replayed or not
+                rec, rows = _recover_sub_lineage(table, run_id, epoch, seq)
+                total += rows
+                lineage += rec
+                resumed = True
             if i < len(schema_events):
                 s_lsn, change = schema_events[i]
                 table.update_schema(change, schema_lsn=s_lsn)
@@ -230,10 +240,10 @@ def apply_history_batch(
     # per-file lineage (bucket + LSN range + rows, straight from footer
     # stats — zero extra jobs) + epoch metrics: the same resume/audit trail
     # the merge path writes, so a history sink is replay-inspectable too
-    _write_lineage(
-        table, run_id, epoch, 0, lineage,
-        {"rows": total, "duration_sec": dur, "events_per_sec": total / dur},
-    )
+    extra = {"rows": total, "duration_sec": dur, "events_per_sec": total / dur}
+    if schema_events and resumed:
+        extra["resumed"] = True  # part of this epoch's lineage was recovered
+    _write_lineage(table, run_id, epoch, 0, lineage, extra)
     return {
         "skipped": False,
         "run_id": run_id,
@@ -241,6 +251,38 @@ def apply_history_batch(
         "rows_appended": total,
         "duration_sec": dur,
     }
+
+
+def _recover_sub_lineage(
+    table: LakeTable, run_id: str, epoch: int, seq: int
+) -> tuple[list[dict], int]:
+    """Rebuild a committed-then-skipped sub-unit's per-file lineage from the
+    table's snapshot history: find the snapshot that FIRST carries the
+    (run, epoch, seq) manifest and diff its file list against the previous
+    snapshot's — the added files ARE the sub-unit's writes (footer stats
+    included). Resume-only path; cost is a metadata walk, no data read."""
+
+    def has(snap: dict) -> bool:
+        return any(
+            c.get("run_id") == run_id
+            and c.get("epoch") == epoch
+            and c.get("seq", 0) == seq
+            for c in snap["commits"]
+        )
+
+    prev_paths: set[str] = set()
+    for v in range(1, table.current_version() + 1):
+        snap = table.snapshot_at(v)
+        if has(snap):
+            added = [f for f in snap["files"] if f["path"] not in prev_paths]
+            lineage = [
+                {"bucket": f["bucket"], "rows": f["rows"],
+                 "lsn_min": f.get("lsn_min"), "lsn_max": f.get("lsn_max")}
+                for f in added
+            ]
+            return lineage, sum(f["rows"] for f in added)
+        prev_paths = {f["path"] for f in snap["files"]}
+    return [], 0
 
 
 def _file_lineage(append_ret: dict) -> list[dict]:
@@ -268,7 +310,15 @@ def _shape_versions(
     payload = [c for c in data.columns if c in attr_names and c not in keys]
     is_del = F.col(op_col) == F.lit("D")
     # ONE shuffle over the BATCH: per-(key, lsn) LWW collapse of transport
-    # duplicates + the op marker, never touching the table
+    # duplicates + the op marker, never touching the table.
+    # Tie-break contract: a (key, LSN) group exists because an at-least-once
+    # transport RE-SENT the identical event, so all rows in it carry the
+    # same op and image and both aggregates below are order-independent. A
+    # contract-violating duplicate (same LSN, DIFFERENT op or image) is
+    # resolved arbitrarily — max() keeps 'U' over 'D' and max_by on the
+    # constant LSN keeps an arbitrary image; detecting that corruption is a
+    # log-integrity concern upstream of the store (it would need a
+    # count_distinct per group on the hot path to surface here).
     versions = data.groupBy(*keys, F.col(lsn_col).alias(_VER_LSN)).agg(
         F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(lsn_col)).alias("_w"),
         F.max(F.when(is_del, F.lit("D")).otherwise(F.lit("U"))).alias(_VER_OP),
@@ -394,20 +444,45 @@ def refresh_history(store: LakeTable, dest: LakeTable, run_id: str = "mat") -> d
     if cur <= since:
         return {"skipped": True, "store_version": since}
     t0 = time.time()
-    # follow the store's schema evolution: an attribute column the store
-    # gained via DDL since the last refresh must appear in the view too —
-    # silently projecting it away would lose post-DDL data from the
-    # materialized history (the same defect class the history sink fixed).
-    # Adds are applied by name/type; the store's field-id projection has
-    # already resolved renames/widens into its current read schema.
-    dest_names = {f.name for f in dest.schema.fields}
+    # follow the store's schema evolution: DDL the store applied since the
+    # last refresh must be mirrored into the view, or the refresh either
+    # loses post-DDL data (add), crashes selecting a stale name (rename),
+    # or casts widened values back down in replace_buckets (widen). The
+    # diff is taken BY FIELD ID between the store schema the view last saw
+    # (snapshot `since`) and its current one — field ids are stable across
+    # rename/widen, so each kind of change maps to exactly one mirrored
+    # action on the view's matching (old-named) field.
+    old_sv = store.snapshot_at(since)["schema_version"]
+    old_by_id = {f.id: f for f in store.schema_at(old_sv).fields}
     for sf in store.schema.fields:
-        if sf.name in (_VER_OP,) or sf.name in dest_names:
+        if sf.name == _VER_OP:
             continue
-        dest.update_schema(
-            {"action": "add", "column": sf.name, "type": sf.type},
-            schema_lsn=dest.schema_lsn + 1,
-        )
+        dest_names = {f.name for f in dest.schema.fields}
+        of = old_by_id.get(sf.id)
+        if of is None:
+            if sf.name not in dest_names:
+                dest.update_schema(
+                    {"action": "add", "column": sf.name, "type": sf.type},
+                    schema_lsn=dest.schema_lsn + 1,
+                )
+            continue
+        if of.name != sf.name and sf.name not in dest_names:
+            # (a crash between a prior refresh's DDL mirror and its commit
+            # leaves the rename already applied — skip, don't re-raise)
+            if of.name not in dest_names:
+                raise ValueError(
+                    f"materialized view diverged from store: store renamed "
+                    f"{of.name!r} -> {sf.name!r} but the view has neither"
+                )
+            dest.update_schema(
+                {"action": "rename", "from": of.name, "to": sf.name},
+                schema_lsn=dest.schema_lsn + 1,
+            )
+        if of.type != sf.type and dest.schema.field(sf.name).type != sf.type:
+            dest.update_schema(
+                {"action": "widen", "column": sf.name, "to": sf.type},
+                schema_lsn=dest.schema_lsn + 1,
+            )
     changed = (
         store.read_changes(since_version=since).select(*keys).distinct()
     ).localCheckpoint()  # small (changed keys only); 3 consumers below

@@ -641,3 +641,104 @@ def test_refresh_follows_store_schema_evolution(spark, tmp_path):
     cols = ["k", "v", "sz", "valid_from_lsn", "valid_to_lsn", "is_current"]
     assert sorted(map(tuple, dest.read().select(*cols).collect())) == \
         sorted(map(tuple, read_history(store).select(*cols).collect()))
+
+
+def test_refresh_follows_store_rename_and_widen(spark, tmp_path):
+    """Store RENAME and WIDEN DDL applied after the view was built must be
+    mirrored into the view on refresh (by field id) — a rename previously
+    crashed the refresh selecting the stale name, and a widen silently
+    narrowed refreshed values."""
+    import json as _json
+
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+        materialize_history,
+        read_history,
+        refresh_history,
+    )
+
+    store = create_history_table(
+        spark, str(tmp_path / "s"),
+        [("k", "string"), ("v", "string"), ("sz", "int")],
+        key_cols=["k"], n_buckets=2,
+    )
+    b0 = spark.createDataFrame(
+        [("k1", 1, "U", "a", 7, None)],
+        "k string, lsn long, op string, v string, sz int, schema_change string",
+    )
+    apply_history_batch(store, b0, run_id="r", epoch=0)
+    dest = materialize_history(store, str(tmp_path / "view"))
+
+    ren = _json.dumps({"action": "rename", "from": "v", "to": "val"})
+    wid = _json.dumps({"action": "widen", "column": "sz", "to": "long"})
+    b1 = spark.createDataFrame(
+        [("k1", 4, "S", None, None, ren), ("k1", 5, "S", None, None, wid)],
+        "k string, lsn long, op string, val string, sz long, schema_change string",
+    )
+    apply_history_batch(store, b1, run_id="r", epoch=1)
+    b2 = spark.createDataFrame(
+        [("k1", 6, "U", "b", 9_000_000_000, None)],
+        "k string, lsn long, op string, val string, sz long, schema_change string",
+    )
+    apply_history_batch(store, b2, run_id="r", epoch=2)
+
+    refresh_history(store, dest)
+    fields = {f.name: f.type for f in dest.schema.fields}
+    assert "val" in fields and "v" not in fields
+    assert fields["sz"] == "long"
+    got = {r["valid_from_lsn"]: r for r in dest.read().collect()}
+    assert got[1]["val"] == "a" and got[1]["sz"] == 7      # pre-DDL survives
+    assert got[6]["val"] == "b" and got[6]["sz"] == 9_000_000_000  # wide value
+    cols = ["k", "val", "sz", "valid_from_lsn", "valid_to_lsn", "is_current"]
+    assert sorted(map(tuple, dest.read().select(*cols).collect())) == \
+        sorted(map(tuple, read_history(store).select(*cols).collect()))
+    # idempotent: a second refresh at the same store version no-ops
+    assert refresh_history(store, dest)["skipped"]
+
+
+def test_ddl_epoch_resume_recovers_lineage(spark, tmp_path, monkeypatch):
+    """Crash-resume through the DDL path: committed sub-units are skipped,
+    but their per-file lineage must be RECOVERED into the epoch's lineage
+    record, not dropped — the audit trail covers the whole epoch."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from embulk_filter_copy_spark.cdc.apply import read_lineage
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+    )
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    t = create_history_table(
+        spark, str(tmp_path / "h"),
+        [("k", "string"), ("v", "string")], key_cols=["k"], n_buckets=2,
+    )
+    ddl = _json.dumps({"action": "add", "column": "sz", "type": "long"})
+    batch = spark.createDataFrame(
+        [
+            ("k1", 1, "U", "a", None, None),
+            ("k1", 4, "S", None, None, ddl),
+            ("k1", 5, "U", "b", 42, None),
+        ],
+        "k string, lsn long, op string, v string, sz long, schema_change string",
+    )
+
+    def boom(self, change, schema_lsn, commit=None):
+        raise RuntimeError("crash before DDL")
+
+    monkeypatch.setattr(LakeTable, "update_schema", boom)
+    with _pytest.raises(RuntimeError):
+        apply_history_batch(t, batch, run_id="r", epoch=0)
+    monkeypatch.undo()
+    # sub-unit 1 (lsn<4) committed before the crash; resume must skip it but
+    # still report its rows/files in the epoch lineage
+    res = apply_history_batch(t, batch, run_id="r", epoch=0)
+    assert not res["skipped"] and res["rows_appended"] == 2
+    rec = next(l for l in read_lineage(t) if l["epoch"] == 0)
+    assert rec["rows"] == 2 and rec.get("resumed") is True
+    lsns = [p for p in rec["partitions"] if p["lsn_max"] is not None]
+    assert min(p["lsn_min"] for p in lsns) == 1   # pre-crash sub-unit present
+    assert max(p["lsn_max"] for p in lsns) == 5   # post-resume sub-unit present
