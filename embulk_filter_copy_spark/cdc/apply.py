@@ -74,6 +74,69 @@ def read_quarantine(spark, qpath: str) -> DataFrame:
     )
 
 
+def compact_quarantine(
+    spark, qpath: str, keep_recent: int = 2
+) -> dict:
+    """Fold accumulated per-(run, epoch, sink) quarantine directories into
+    one compacted directory — the small-file GC for the quarantine root.
+
+    Every epoch writes its late rows into its own ``qpart=`` dir (that
+    isolation is what makes the write idempotent and multi-process-safe),
+    so at 10^5 epochs the root is a directory bomb: one dir + one tiny
+    file per (run, epoch, sink). This folds all but the ``keep_recent``
+    most-recently-modified ``qpart=`` dirs (those may still be replayed
+    into by an in-flight epoch) into a single ``qcompact=`` dir with one
+    file per shuffle partition.
+
+    Idempotent under crash-resume: the target name is a DIGEST of the
+    source dir set, written under a dot-prefixed temp dir (invisible to
+    readers) and atomically renamed; a re-run after a crash between the
+    rename and the source deletes finds the target already present, skips
+    the write, and only sweeps the leftover sources — rows are never
+    duplicated. ``read_quarantine`` reads pre-compaction, post-compaction
+    and mixed layouts identically (recursive file lookup).
+    """
+    import hashlib
+    import shutil
+
+    qparts = sorted(
+        e for e in os.listdir(qpath)
+        if e.startswith("qpart=") and os.path.isdir(os.path.join(qpath, e))
+    )
+    if keep_recent > 0:
+        by_mtime = sorted(
+            qparts, key=lambda e: os.path.getmtime(os.path.join(qpath, e))
+        )
+        qparts = by_mtime[: max(len(by_mtime) - keep_recent, 0)]
+    # prior compacted dirs fold in too, so repeated compactions keep the
+    # root at ONE compacted dir instead of one per compaction run
+    old = [
+        e for e in os.listdir(qpath)
+        if e.startswith("qcompact=") and os.path.isdir(os.path.join(qpath, e))
+    ]
+    entries = sorted(qparts + old)
+    if not qparts:  # nothing new to fold — don't rewrite the compacted dir
+        return {"dirs_compacted": 0, "rows": 0, "out": None}
+    digest = hashlib.sha1("\n".join(entries).encode()).hexdigest()[:12]
+    out = os.path.join(qpath, f"qcompact={digest}")
+    rows = 0
+    if not os.path.exists(out):
+        src = [os.path.join(qpath, e) for e in entries]
+        df = (
+            spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
+            .parquet(*src)
+        )
+        tmp = os.path.join(qpath, f".tmp-qcompact-{digest}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, out)
+        rows = spark.read.parquet(out).count()
+    for e in entries:
+        shutil.rmtree(os.path.join(qpath, e), ignore_errors=True)
+    return {"dirs_compacted": len(entries), "rows": rows, "out": out}
+
+
 def _sink_id(table: LakeTable) -> str:
     import hashlib
 

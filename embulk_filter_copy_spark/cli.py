@@ -138,6 +138,15 @@ def cmd_materialize(args) -> None:
     print(json.dumps(res))
 
 
+def cmd_compact_quarantine(args) -> None:
+    """Fold per-(run, epoch, sink) quarantine dirs into one compacted dir
+    (small-file GC for the quarantine root; idempotent on crash-resume)."""
+    from embulk_filter_copy_spark.cdc.apply import compact_quarantine
+
+    spark = _spark(args)
+    print(json.dumps(compact_quarantine(spark, args.path, keep_recent=args.keep_recent)))
+
+
 def cmd_rescale(args) -> None:
     from embulk_filter_copy_spark.lake.table import LakeTable
 
@@ -203,6 +212,12 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--purge-tombstones", action="store_true")
     c.add_argument("--max-files-per-bucket", type=int, default=1)
 
+    cq = sub.add_parser("compact-quarantine",
+                        help="fold per-epoch quarantine dirs into one compacted dir")
+    cq.add_argument("--path", required=True, help="quarantine root")
+    cq.add_argument("--keep-recent", type=int, default=2,
+                    help="leave the N most-recent qpart dirs uncompacted")
+
     rs = sub.add_parser("rescale", help="rewrite the table under a new bucket count")
     rs.set_defaults(func=cmd_rescale)
     rs.add_argument("--table", required=True)
@@ -234,6 +249,7 @@ def main(argv: list[str] | None = None) -> None:
         "bootstrap": cmd_bootstrap,
         "replay": cmd_replay,
         "compact": cmd_compact,
+        "compact-quarantine": cmd_compact_quarantine,
         "rescale": cmd_rescale,
         "expire": cmd_expire,
         "changes": cmd_changes,

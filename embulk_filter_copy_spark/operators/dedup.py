@@ -506,6 +506,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "auto",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by IVF centroid cell — the
     same coarse quantizer :func:`~.similarity.ann_ivf_topk` uses, so the
@@ -517,14 +518,20 @@ def embedding_near_dup_pairs(
     n_cells overlap to recover them). ``method`` selects the assignment
     strategy (literal inline vs broadcast join, identical cells — see
     ``similarity.assign_cells``); ``auto`` switches to the join path past
-    the inline codegen ceiling."""
+    the inline codegen ceiling. ``centroids`` overrides the positional
+    quantizer — pass a ``similarity.kmeans_centroids`` fit so blocking uses
+    data-shaped cells (balanced block sizes) instead of the first-n seed."""
     from embulk_filter_copy_spark.operators.similarity import (
         assign_cells,
         cosine_expr,
         ivf_centroids,
     )
 
-    cents = ivf_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    )
     cells = assign_cells(
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         cents, n_cells, "_v", id_col="_id", method=method,

@@ -5,16 +5,76 @@ Column-name discipline: every computed column is aliased IDENTICALLY in the
 Spark plan and the oracle SQL (the driver hash-compares values after sorting
 columns by name). Float outputs are rounded on BOTH sides so cross-engine
 summation order can't flip a hash.
+
+Registration ORDER is verification policy, not cosmetics: the driver's
+correctness harness reports the first 50 registered queries, so queries
+that have never had a driver-oracle row (or whose semantics changed this
+round) register FIRST, ahead of long-green rows. The local DuckDB parity
+suite (`tests/test_queries_vs_duckdb.py`) still checks every entry each
+run regardless of position.
 """
 
 from embulk_filter_copy_spark.queries.cdc_queries import QUERIES as CDC_QUERIES
 from embulk_filter_copy_spark.queries.pipeline import QUERIES as PIPELINE_QUERIES
 from embulk_filter_copy_spark.queries.tpch import QUERIES as TPCH_QUERIES
 
-ALL_QUERIES: dict = {}
+_MERGED: dict = {}
 for m in (CDC_QUERIES, TPCH_QUERIES, PIPELINE_QUERIES):
-    dup = set(m) & set(ALL_QUERIES)
+    dup = set(m) & set(_MERGED)
     assert not dup, f"duplicate query names: {dup}"
-    ALL_QUERIES.update(m)
+    _MERGED.update(m)
+
+# Verification priority (round 4): the 13 round-3 queries that registered
+# past the driver's 50-row window and never got a driver-oracle row, plus
+# the two whose oracle is new this round (the fixture-pinned k-means pair).
+_PRIORITY = [
+    "multimodal_features",
+    "sample_docs_by_hash",
+    "sample_stratified_docs",
+    "pack_training_sequences",
+    "text_scrub_pii",
+    "text_repetition_stats",
+    "dedup_incremental_signatures",
+    "decontam_ngram_overlap",
+    "dedup_span_stats",
+    "sample_assign_shards",
+    "sample_mixture_weights",
+    "text_unigram_logprob",
+    "dedup_trim_spans",
+    "ann_ivf_kmeans_topk",
+    "dedup_embedding_kmeans",
+]
+
+# Long-green rows (every one has a passing driver row in CORRECTNESS_r03)
+# that yield their first-50 slot to the priority list; they remain fully
+# covered by the local parity suite.
+_DEPRIORITIZED = [
+    "join_broadcast_segment",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "window_running_revenue",
+    "agg_rollup_flags",
+    "set_ops_brands",
+    "global_topk_lineitems",
+    "scalar_battery",
+    "json_extract_props",
+    "agg_cube_events",
+    "cdc_out_of_order_rate",
+    "dedup_simhash64_pairs",
+    "ann_ivf_joinpath_topk",
+    "dedup_jaccard_pairs",
+]
+
+for n in _PRIORITY + _DEPRIORITIZED:
+    assert n in _MERGED, f"unknown query in ordering policy: {n}"
+
+ALL_QUERIES: dict = {}
+for n in _PRIORITY:
+    ALL_QUERIES[n] = _MERGED[n]
+for n, v in _MERGED.items():
+    if n not in ALL_QUERIES and n not in _DEPRIORITIZED:
+        ALL_QUERIES[n] = v
+for n in _DEPRIORITIZED:
+    ALL_QUERIES[n] = _MERGED[n]
 
 __all__ = ["ALL_QUERIES"]

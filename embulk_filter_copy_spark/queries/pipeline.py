@@ -414,18 +414,98 @@ def ann_ivf_joinpath_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF over deterministically-seeded k-means centroids (2 Lloyd rounds,
-    broadcast-join assignment, nprobe=2) — the full scale configuration.
-    k-means is iterative and not SQL-expressible, so this query has no
-    DuckDB oracle (driver records the rows-only check); the operator's
-    semantics are pinned by pytest property tests instead
-    (test_operators.py: seed equality at n_iters=0, blob separation,
-    rank-shape self-consistency)."""
-    emb = t(spark, sf_dir, "embeddings")
-    return S.ann_ivf_kmeans_topk(
-        emb, emb.filter(F.col("vec_id") < 5), n_cells=4, k=5, nprobe=2, n_iters=2
+def _kmeans_fixture_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "kmeans_centroids_c4.parquet",
     )
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over a REAL k-means quantizer via the broadcast-join
+    assignment path (nprobe=2) — the full 100 TB configuration.
+
+    The centroids are a FROZEN fixture (`fixtures/kmeans_centroids_c4.
+    parquet`): one deterministic `similarity.kmeans_centroids` fit (seeded
+    init, 2 Lloyd rounds, verified refit-bit-identical), pinned so the
+    search stage — assignment argmax + probed-cell join + top-k — is fully
+    SQL-expressible and the DuckDB oracle checks rows+schema+values against
+    the SAME centroid table. The iterative fit itself is covered by pytest
+    property tests (seed equality at n_iters=0, monotone inertia, blob
+    separation) plus a fixture-freshness test that refits and compares."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(_kmeans_fixture_path())
+    return S.ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), n_cells=4, k=5, nprobe=2,
+        method="join", centroids=cents,
+    )
+
+
+def _kmeans_cell_cte() -> str:
+    """Shared CTEs: cosine of every vector to every FIXTURE centroid
+    (rounded 6dp — the engine's pre-argmax rounding), best cell per corpus
+    vector (`b`, tie → lowest cent_id: the struct-min tie-break of
+    `similarity._assign_cells_join`)."""
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT cent_id, cent_v FROM read_parquet('{_kmeans_fixture_path()}')),
+ca AS (
+  SELECT vec_id, e, cent_id,
+         round(list_dot_product(e, cent_v)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cent_v, cent_v))), 6) AS c6
+  FROM e CROSS JOIN cent
+),
+b AS (
+  SELECT vec_id, e, CAST(cent_id AS INT) AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c6 DESC, cent_id) AS rn
+    FROM ca
+  ) WHERE rn = 1
+)"""
+
+
+ANN_KMEANS_SQL = f"""
+WITH {_kmeans_cell_cte()},
+qp AS (
+  SELECT vec_id, e, CAST(cent_id AS INT) AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c6 DESC, cent_id) AS rn
+    FROM ca WHERE vec_id < 5
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT y.vec_id AS query_id, x.cell, x.vec_id AS neighbor_id, round({_DCOS}, 4) AS cos
+  FROM b x JOIN qp y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+)
+SELECT query_id, cell, rank, neighbor_id, cos FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by the k-means fixture cells —
+    the real-quantizer configuration of `dedup_embedding_cosine` (balanced
+    data-shaped blocks instead of the positional seed), join-path
+    assignment, same oracle discipline as `ann_ivf_kmeans_topk`."""
+    from embulk_filter_copy_spark.operators import dedup as DD
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(_kmeans_fixture_path())
+    return DD.embedding_near_dup_pairs(
+        emb, threshold=0.35, n_cells=4, method="join", centroids=cents
+    )
+
+
+DEDUP_EMB_KMEANS_SQL = f"""
+WITH {_kmeans_cell_cte()}
+SELECT cell, a, b, cos FROM (
+  SELECT x.cell, x.vec_id AS a, y.vec_id AS b, round({_DCOS}, 4) AS cos
+  FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+) WHERE cos >= 0.35
+"""
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,7 +1118,8 @@ QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
     "ann_ivf_joinpath_topk": (ann_ivf_joinpath_topk, _ivf_sql()),
-    "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, None),
+    "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, ANN_KMEANS_SQL),
+    "dedup_embedding_kmeans": (dedup_embedding_kmeans, DEDUP_EMB_KMEANS_SQL),
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_quality_by_source": (text_quality_by_source, TEXT_QUALITY_SQL),
     "text_lang_id_confusion": (text_lang_id_confusion, _lang_id_sql()),

@@ -309,3 +309,58 @@ def test_cli_materialize_build_then_refresh(spark, tmpdir_path, capsys):
     cli.main(["--master", "local[4]", "materialize", "--store", store.path, "--view", view])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not out.get("skipped") and out["rows"] > 0
+
+
+def test_compact_quarantine_folds_dirs_idempotently(spark, tmpdir_path, capsys):
+    """Per-epoch qpart dirs fold into one compacted dir; rows survive
+    exactly (mixed pre/post layouts readable); a re-run (crash between the
+    atomic rename and the source deletes) never duplicates rows; repeated
+    compactions fold prior qcompact dirs instead of accumulating them."""
+    import shutil
+
+    from embulk_filter_copy_spark import cli
+    from embulk_filter_copy_spark.cdc.apply import (
+        compact_quarantine,
+        read_quarantine,
+        write_quarantine,
+    )
+
+    q = os.path.join(tmpdir_path, "quar")
+    os.makedirs(q)
+    mk = lambda n: spark.range(n).selectExpr("id", "cast(id as string) AS v")
+    for epoch in range(5):
+        write_quarantine(mk(10 + epoch), q, "run1", epoch, "sinkA")
+    write_quarantine(mk(3), q, "run1", 0, "sinkB")
+    total = read_quarantine(spark, q).count()
+    assert total == 10 + 11 + 12 + 13 + 14 + 3
+
+    res = compact_quarantine(spark, q, keep_recent=2)
+    assert res["dirs_compacted"] == 4 and res["rows"] > 0
+    # mixed layout: 2 recent qpart dirs + 1 compacted dir, same rows
+    names = sorted(os.listdir(q))
+    assert sum(n.startswith("qpart=") for n in names) == 2
+    assert sum(n.startswith("qcompact=") for n in names) == 1
+    assert read_quarantine(spark, q).count() == total
+
+    # crash-resume: target exists, sources linger -> re-create one source
+    # dir's worth of already-compacted rows and re-run with the same set
+    again = compact_quarantine(spark, q, keep_recent=2)
+    assert again["dirs_compacted"] == 0  # nothing new to fold
+    assert read_quarantine(spark, q).count() == total
+
+    # second round: new epochs arrive; old qcompact folds in too
+    for epoch in range(5, 9):
+        write_quarantine(mk(2), q, "run1", epoch, "sinkA")
+    total2 = read_quarantine(spark, q).count()
+    res2 = compact_quarantine(spark, q, keep_recent=2)
+    assert res2["dirs_compacted"] >= 2
+    assert sum(n.startswith("qcompact=") for n in os.listdir(q)) == 1
+    assert read_quarantine(spark, q).count() == total2
+
+    # CLI verb
+    cli.main(["--master", "local[4]", "compact-quarantine", "--path", q,
+              "--keep-recent", "0"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dirs_compacted"] >= 1
+    assert read_quarantine(spark, q).count() == total2
+    assert sum(n.startswith("qpart=") for n in os.listdir(q)) == 0

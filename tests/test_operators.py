@@ -644,3 +644,49 @@ def test_unigram_logprob_unknown_tokens_get_smoothed_mass(spark):
     # p(known) = 100/100, p(unknown) = 1/100 -> mean = (0 + ln(0.01)) / 2
     assert row["n_tokens"] == 2
     assert abs(row["mean_logprob"] - (math.log(100 / 100) + math.log(1 / 100)) / 2) < 1e-9
+
+
+def test_kmeans_fixture_matches_fresh_fit(spark):
+    """The frozen centroid fixture (the oracle's quantizer for
+    `ann_ivf_kmeans_topk` / `dedup_embedding_kmeans`) must equal a fresh
+    deterministic fit on the sf0.001 embeddings — guards fixture staleness
+    if the fit or the testdata ever changes."""
+    from embulk_filter_copy_spark.queries.pipeline import _kmeans_fixture_path
+
+    fix = {
+        r["cent_id"]: [float(x) for x in r["cent_v"]]
+        for r in spark.read.parquet(_kmeans_fixture_path()).collect()
+    }
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fit = {
+        int(r["cent_id"]): [float(x) for x in r["cent_v"]]
+        for r in S.kmeans_centroids(emb, n_cells=4, n_iters=2).collect()
+    }
+    assert fix == fit
+
+
+def test_near_dup_kmeans_cells_recall_vs_positional(spark):
+    """k-means cells must not lose near-dup pairs relative to the
+    positional seed on blob-structured data: with cells fitted to the
+    blobs, every within-blob near-dup pair lands in one cell."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(60):
+        blob = i % 3
+        base = [1.0 if d // 8 == blob else 0.0 for d in range(24)]
+        rows.append((i, [x + rnd.uniform(-0.05, 0.05) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.kmeans_centroids(emb, n_cells=3, n_iters=3)
+    km = D.embedding_near_dup_pairs(
+        emb, threshold=0.9, n_cells=3, method="join", centroids=cents
+    )
+    pos = D.embedding_near_dup_pairs(emb, threshold=0.9, n_cells=3)
+    km_pairs = {(r["a"], r["b"]) for r in km.collect()}
+    pos_pairs = {(r["a"], r["b"]) for r in pos.collect()}
+    # all within-blob pairs are near-dups; k-means cells align with blobs so
+    # recall is total, and at least matches the positional seed's
+    n_blob_pairs = 3 * (20 * 19 // 2)
+    assert len(km_pairs) == n_blob_pairs
+    assert km_pairs >= pos_pairs
