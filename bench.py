@@ -68,6 +68,14 @@ WORKROOT = os.environ.get(
     "/dev/shm/efc-bench" if os.path.isdir("/dev/shm") else "/tmp/efc-bench",
 )
 
+# multi-second queries measured once were the round-3 noise trap; these get
+# 4 trials + median recorded alongside the best
+MEDIAN_PROTOCOL_QUERIES = {
+    "dedup_simhash_pairs",
+    "dedup_jaccard3_pairs",
+    "dedup_minhash_pairs",
+}
+
 HEADLINE_QUERIES = [
     "cdc_replay_events",
     "cdc_lww_latest",
@@ -309,30 +317,88 @@ def _history_throughput(spark, events, workdir: str) -> dict:
     t0 = time.time()
     n_open = read_history(htable).filter(F.col("is_current")).count()
     read_dur = max(time.time() - t0, 1e-9)
+
+    # materialized-view refresh at realistic read pressure: the operation a
+    # 100 TB deployment runs per epoch. A small delta epoch (a few hundred
+    # keys) lands, then the view refreshes — cost must track the CHANGED
+    # buckets' row volume, not the store size. The refresh store gets a
+    # WIDE bucket spec (512) so the pruning is visible: with changed keys
+    # << buckets, the rewrite fraction ≈ touched/total buckets, exactly the
+    # 100 TB shape (10^5-10^6 buckets, epoch touches a sliver).
+    from embulk_filter_copy_spark.cdc.history import (
+        materialize_history,
+        refresh_history,
+    )
+
+    rtable = create_history_table(
+        spark, os.path.join(workdir, "hist-r"),
+        [("repo", "string"), ("path", "string"), ("commit", "string"),
+         ("lang", "string"), ("content", "string")],
+        key_cols=["repo", "path"], n_buckets=512,
+    )
+    apply_history_batch(rtable, events, run_id="hist-bench-r", epoch=0)
+    t0 = time.time()
+    view = materialize_history(rtable, os.path.join(workdir, "histview"))
+    build_dur = max(time.time() - t0, 1e-9)
+    hi = events.agg(F.max("lsn")).collect()[0][0]
+    # salt the sampling hash: the store buckets by xxhash64(repo, path) too,
+    # so an unsalted modulus would pick keys that all share one bucket and
+    # flatter the pruning claim
+    delta = events.filter(
+        F.abs(F.xxhash64(F.lit("delta:"), "repo", "path")) % 4096 == 0
+    ).withColumn("lsn", F.col("lsn") + F.lit(hi))
+    n_delta = delta.count()
+    apply_history_batch(rtable, delta, run_id="hist-bench-r", epoch=1)
+    store_rows = rtable.row_count()
+    t0 = time.time()
+    rres = refresh_history(rtable, view)
+    refresh_dur = max(time.time() - t0, 1e-9)
     return {
         "versions_appended": res["rows_appended"],
         "apply_duration_sec": round(apply_dur, 2),
         "versions_per_sec": round(res["rows_appended"] / apply_dur, 1),
         "read_open_versions": n_open,
         "read_duration_sec": round(read_dur, 2),
+        "view_build_duration_sec": round(build_dur, 2),
+        "refresh": {
+            "delta_versions": n_delta,
+            "store_versions": store_rows,
+            "buckets_touched": len(rres["buckets"]),
+            "n_buckets": rtable.n_buckets,
+            "rows_rewritten": rres["rows"],
+            "rewrite_fraction": round(rres["rows"] / max(store_rows, 1), 4),
+            "duration_sec": round(refresh_dur, 2),
+            "rows_rewritten_per_sec": round(rres["rows"] / refresh_dur, 1),
+        },
     }
 
 
-def run_queries(spark) -> dict:
+def run_queries(spark) -> tuple[dict, dict]:
+    """(best time per query, raw trial lists for multi-second queries).
+    Multi-second queries get 4 trials + a recorded spread — the round-3
+    simhash '2.6x regression' turned out to be a single-measurement host
+    window; the median protocol makes that visible instead of alarming."""
     from embulk_filter_copy_spark.queries import ALL_QUERIES
 
-    times = {}
+    times, trials_out = {}, {}
     for name in HEADLINE_QUERIES:
         fn, _ = ALL_QUERIES[name]
-        best = None
-        for _trial in range(2):  # best-of-2: host load swings dwarf query cost
+        n_trials = 4 if name in MEDIAN_PROTOCOL_QUERIES else 2
+        trials = []
+        for _trial in range(n_trials):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 2)
-    return times
+            trials.append(time.time() - t0)
+        times[name] = round(min(trials), 2)
+        if n_trials > 2:
+            ts = sorted(trials)
+            med = ts[len(ts) // 2] if len(ts) % 2 else (ts[len(ts) // 2 - 1] + ts[len(ts) // 2]) / 2
+            trials_out[name] = {
+                "trials_sec": [round(x, 2) for x in trials],
+                "median_sec": round(med, 2),
+            }
+    return times, trials_out
 
 
 def one_session(master: str, shuffle_partitions: int):
@@ -441,7 +507,7 @@ def main() -> None:
     maintenance = maintenance_throughput(
         spark, BENCH_BASE_ROWS, BENCH_EVENTS, os.path.join(workroot, "maint")
     )
-    queries = run_queries(spark)
+    queries, query_trials = run_queries(spark)
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         # pre-generate the scaling input at full parallelism — the first
         # scale subprocess would otherwise burn minutes generating 6M events
@@ -488,6 +554,7 @@ def main() -> None:
         "value_median": best_mode["median_events_per_sec"],
         "unit": "events/sec",
         "queries": queries,
+        "query_trials": query_trials,
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else SF_DIR,
         "replay": replay,
         "replay_mor": replay_mor,
@@ -495,7 +562,30 @@ def main() -> None:
         "maintenance": maintenance,
         "scaling": scaling,
     }
-    print(json.dumps(out))
+    # full detail goes to a FILE; the final stdout line stays compact —
+    # round 3's full-detail line outgrew the driver's stdout-tail capture
+    # window and the automated comparison read "parsed": null
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_OUT.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "value_median": out["value_median"],
+        "unit": out["unit"],
+        "queries": queries,
+        "sf": out["sf"],
+        "replay": {"best": replay["events_per_sec"],
+                   "median": replay["median_events_per_sec"]},
+        "replay_mor": {"best": replay_mor["events_per_sec"],
+                       "median": replay_mor["median_events_per_sec"]},
+        "fanout_sink_applies": {"best": fanout["sink_applies_per_sec"],
+                                "median": fanout["median_sink_applies_per_sec"]},
+        "refresh_rows_per_sec": maintenance["history"]["refresh"]["rows_rewritten_per_sec"],
+        "scaling_efficiency": scaling["scaling_efficiency"] if scaling else None,
+        "detail": "BENCH_OUT.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -212,6 +212,11 @@ def build_merge(
     src_wins = s[lsn_col].isNotNull() & (
         t["_lsn"].isNull() | (s[lsn_col] >= t["_lsn"])
     )
+    # a patch-only source row (op='P' survives `dedup.fold_patches` when the
+    # batch held no full image for the key) resolves per COLUMN against the
+    # target: non-null patch columns override, nulls keep the target value —
+    # and a patch can neither create a key nor resurrect a deleted one
+    is_patch = s[op_col] == F.lit("P")
     reserved = {lsn_col, op_col, "ts", "schema_change"}
     src_cols = {c for c in deduped.columns if c not in reserved}
 
@@ -220,18 +225,25 @@ def build_merge(
         if f.name in keys:
             out_cols.append(F.coalesce(s[f.name], t[f.name]).alias(f.name))
         elif f.name in src_cols:
-            out_cols.append(F.when(src_wins, s[f.name]).otherwise(t[f.name]).alias(f.name))
+            out_cols.append(
+                F.when(src_wins & is_patch, F.coalesce(s[f.name], t[f.name]))
+                .when(src_wins, s[f.name])
+                .otherwise(t[f.name])
+                .alias(f.name)
+            )
         else:
             # column unknown to the CDC envelope (added via schema evolution):
-            # full-row-image update semantics → NULL when the source wins
+            # full-row-image update semantics → NULL when the source wins;
+            # a patch leaves it untouched
             out_cols.append(
-                F.when(src_wins, F.lit(None).cast(spark_type(f.type)))
+                F.when(src_wins & ~is_patch, F.lit(None).cast(spark_type(f.type)))
                 .otherwise(t[f.name])
                 .alias(f.name)
             )
     out_cols.append(F.when(src_wins, s[lsn_col]).otherwise(t["_lsn"]).alias("_lsn"))
     out_cols.append(
-        F.when(src_wins, s[op_col] == F.lit("D"))
+        F.when(src_wins & is_patch, F.coalesce(t["_deleted"], F.lit(True)))
+        .when(src_wins, s[op_col] == F.lit("D"))
         .otherwise(F.coalesce(t["_deleted"], F.lit(False)))
         .alias("_deleted")
     )
@@ -350,6 +362,12 @@ def apply_batch(
     (:func:`write_quarantine` — idempotent on replay, cross-process safe)
     and excluded from the merge, counted in the returned stats.
     """
+    if dedup == "patch" and merge_mode != "cow":
+        raise ValueError(
+            "dedup='patch' requires merge_mode='cow': a partial-image patch "
+            "resolves per column against the current target row at merge "
+            "time, and MOR delta appends never read the target"
+        )
     if table.has_commit(run_id, epoch, EPOCH_DONE_SEQ):
         return {"skipped": True, "run_id": run_id, "epoch": epoch}
 

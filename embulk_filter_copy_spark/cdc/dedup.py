@@ -97,12 +97,122 @@ def dedup_events(
     n_salts: int = 16,
 ) -> DataFrame:
     """Single dispatch point for the dedup strategy: 'plain' (default
-    one-shuffle max_by), 'salted' (explicit two-phase), or 'skip' (caller
-    guarantees per-key uniqueness already)."""
+    one-shuffle max_by), 'salted' (explicit two-phase), 'patch'
+    (per-column fold of partial-image events — see :func:`fold_patches`),
+    or 'skip' (caller guarantees per-key uniqueness already)."""
     if mode == "skip":
         return events
     if mode == "salted":
         return lww_dedup_salted(events, keys=keys, lsn_col=lsn_col, n_salts=n_salts)
     if mode == "plain":
         return lww_dedup(events, keys=keys, lsn_col=lsn_col)
+    if mode == "patch":
+        return fold_patches(events, keys=keys, lsn_col=lsn_col)
     raise ValueError(f"unknown dedup mode {mode!r}")
+
+
+def fold_patches(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("repo", "path"),
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    patch_op: str = "P",
+    tiebreak: tuple[str, ...] = ("commit",),
+    reserved: tuple[str, ...] = ("ts", "schema_change"),
+) -> DataFrame:
+    """Per-key fold of PARTIAL-column updates (op = ``patch_op``) into the
+    LWW image — the dedup stage for CDC transports that emit patch events
+    carrying only changed columns (Debezium partial row images, MongoDB
+    update ops) instead of full row images.
+
+    Plain :func:`lww_dedup` is WRONG for such a stream: keeping only the
+    max-LSN event drops every earlier patch's columns. This fold keeps one
+    shuffle (groupBy the keys, all aggregates partial/map-side) but
+    resolves per COLUMN:
+
+      * the LWW winner among full-image events (I/U/D) is the base;
+      * each patchable column takes the value of the latest non-null patch
+        AFTER the base image's LSN (patches superseded by a later full
+        image drop out);
+      * a delete base drops later patches (a patch cannot resurrect a
+        key); a key with ONLY patches in the batch keeps op= ``patch_op``
+        and is resolved against the TARGET table per column at merge time
+        (`apply.build_merge` coalesces patch columns with the target row).
+
+    Contract: a patch cannot set a column to NULL — NULL in a patch event
+    means "unchanged" (the same ambiguity Debezium partial images have
+    without a sentinel mask). The emitted ``lsn`` is the highest LSN that
+    contributed to the image, so the merge-time LSN guard stays exact.
+
+    Delivery-order contract: unlike plain LWW (correct under ARBITRARY
+    epoch assignment — the property suite proves it), patch folding is
+    exact only when epoch batches respect LSN order, i.e. the WAL/CDC
+    transport contract. A patch applied in epoch N advances the key's
+    ``_lsn``, so an out-of-order OLDER full image or delete arriving in a
+    later epoch is rejected by the merge guard instead of being resolved
+    beneath the patch. Duplicate re-deliveries are safe anywhere at-or-
+    after their original epoch (`tests/test_property_patches.py`).
+    """
+    tb = tuple(c for c in tiebreak if c in events.columns)
+    res = {lsn_col, op_col, *reserved}
+    payload_all = [c for c in events.columns if c not in keys]
+    patchable = [c for c in payload_all if c not in res]
+    is_p = F.col(op_col) == F.lit(patch_op)
+    order = _order_struct(lsn_col, tb)
+
+    aggs = [
+        F.max_by(F.struct(*payload_all), F.when(~is_p, order)).alias("_full"),
+        F.max_by(F.struct(*payload_all), order).alias("_latest"),
+    ]
+    for c in patchable:
+        sel = is_p & F.col(c).isNotNull()
+        aggs.append(F.max_by(F.col(c), F.when(sel, order)).alias(f"_p_{c}"))
+        aggs.append(F.max(F.when(sel, F.col(lsn_col))).alias(f"_pl_{c}"))
+    g = events.groupBy(*keys).agg(*aggs)
+
+    full_lsn = F.col(f"_full.{lsn_col}")
+    full_op = F.col(f"_full.{op_col}")
+    has_full = F.col("_full").isNotNull()
+    is_del = has_full & (full_op == F.lit("D"))
+
+    def applied(c: str) -> F.Column:
+        return F.col(f"_pl_{c}").isNotNull() & (
+            ~has_full | (F.col(f"_pl_{c}") > full_lsn)
+        )
+
+    out = [*(F.col(k) for k in keys)]
+    for c in payload_all:
+        if c == lsn_col:
+            applied_lsns = [
+                F.when(applied(pc), F.col(f"_pl_{pc}")) for pc in patchable
+            ]
+            out.append(
+                F.when(is_del, full_lsn)
+                .otherwise(
+                    F.greatest(
+                        F.coalesce(full_lsn, F.lit(None).cast("long")),
+                        *applied_lsns,
+                    )
+                    if patchable
+                    else full_lsn
+                )
+                .alias(lsn_col)
+            )
+        elif c == op_col:
+            out.append(
+                F.when(is_del, F.lit("D"))
+                .when(~has_full, F.lit(patch_op))
+                .otherwise(full_op)
+                .alias(op_col)
+            )
+        elif c in patchable:
+            out.append(
+                F.when(is_del, F.col(f"_full.{c}"))
+                .when(~has_full, F.col(f"_p_{c}"))
+                .when(applied(c), F.col(f"_p_{c}"))
+                .otherwise(F.col(f"_full.{c}"))
+                .alias(c)
+            )
+        else:  # transport metadata (ts, schema_change): the latest event's
+            out.append(F.col(f"_latest.{c}").alias(c))
+    return g.select(*out)

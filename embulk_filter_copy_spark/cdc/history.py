@@ -24,7 +24,7 @@ a materialized history table should be a bucket of the key, same as the
 merge sink.
 
 Reference parity: the reference pipeline has no history surface (it streams
-pages through `filters` config, embulk-filter-copy.gemspec:1-20 scope); this
+pages through its copy/config stages, CopyFilterPlugin.scala:36-56); this
 generalizes its pass-through copy into the versioned-feed a lake CDC
 consumer expects.
 """

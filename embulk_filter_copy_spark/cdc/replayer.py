@@ -73,6 +73,42 @@ class FanoutApplier:
         self.max_sink_threads = max_sink_threads
         self.results: list[dict] = []
         self._keys_match: bool | None = None
+        if dedup == "patch":
+            # fail at stream-build time, not on epoch 1: (a) the shared-dedup
+            # path would hand apply_batch dedup='skip' and bypass its own
+            # patch-requires-cow guard, so MOR sinks would append op='P'
+            # delta rows that no read path resolves; (b) a history sink
+            # records each event as a full version image — a partial image
+            # would be frozen into history with NULLs for untouched columns
+            if merge_mode != "cow":
+                raise ValueError(
+                    "dedup='patch' requires merge_mode='cow': patch rows "
+                    "resolve per column against the target at merge time, "
+                    "and MOR delta appends never read the target"
+                )
+            bad = [l.name for l in leaves if l.mode == "history"]
+            if bad:
+                raise ValueError(
+                    "dedup='patch' cannot feed history sinks "
+                    f"{bad}: the version store records full row images; "
+                    "folded partial images would freeze NULLs for untouched "
+                    "columns into history"
+                )
+            # computed/pandas transforms read row images — on a patch row the
+            # untouched columns are NULL, so anything derived from them is
+            # garbage no later coalesce can repair. Only column plumbing
+            # (select/drop/rename) is patch-safe.
+            bad_tr = sorted({
+                tr[0] for l in leaves for tr in l.transforms
+                if tr[0] not in ("select", "drop", "rename")
+            })
+            if bad_tr:
+                raise ValueError(
+                    f"dedup='patch' is incompatible with {bad_tr} transforms: "
+                    "they compute from row images, and a partial image's "
+                    "untouched columns are NULL until merge-time resolution "
+                    "against the target"
+                )
 
     # transform kinds that never add/drop/reorder ROWS — for these, LWW dedup
     # commutes with the per-sink chain, so the fan-out dedups ONCE and shares

@@ -198,9 +198,10 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--keys", default="repo,path")
     r.add_argument("--watermark", default="10 minutes")
     r.add_argument("--max-files-per-trigger", type=int, default=None)
-    r.add_argument("--dedup", choices=["plain", "salted"], default="plain",
+    r.add_argument("--dedup", choices=["plain", "salted", "patch"], default="plain",
                    help="plain = one-shuffle max_by (partial agg bounds hot keys); "
-                        "salted = explicit two-phase for pathological skew")
+                        "salted = explicit two-phase for pathological skew; "
+                        "patch = per-column fold of partial-image events (op='P'; cow only)")
     r.add_argument("--salts", type=int, default=16)
     r.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
                    help="cow = read-optimized rewrite; mor = write-optimized delta append")

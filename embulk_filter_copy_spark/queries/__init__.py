@@ -43,12 +43,16 @@ _PRIORITY = [
     "dedup_trim_spans",
     "ann_ivf_kmeans_topk",
     "dedup_embedding_kmeans",
+    "dedup_embedding_keep_list",
+    "cdc_patch_fold",
 ]
 
 # Long-green rows (every one has a passing driver row in CORRECTNESS_r03)
 # that yield their first-50 slot to the priority list; they remain fully
 # covered by the local parity suite.
 _DEPRIORITIZED = [
+    "text_fingerprint_stats",
+    "multimodal_metadata",
     "join_broadcast_segment",
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",

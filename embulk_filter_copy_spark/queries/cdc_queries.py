@@ -552,8 +552,94 @@ FROM h WHERE op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+def cdc_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-image (patch) fold: derive a change log where event_id%7==0
+    rows are deletes, event_id%5==0 rows are PATCHES carrying only `value`
+    (event_type null = unchanged), the rest full images — then fold per
+    user_id with `cdc.dedup.fold_patches` (per-COLUMN last-writer: the
+    semantics plain LWW gets wrong on partial images). One shuffle, all
+    aggregates partial/map-side. Oracle replays the fold with FILTERed
+    arg_max over the same derived log."""
+    from embulk_filter_copy_spark.cdc.dedup import fold_patches
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("D"))
+        .when(F.col("event_id") % 5 == 0, F.lit("P"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.when(
+            (F.col("event_id") % 7 == 0) | (F.col("event_id") % 5 == 0),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = fold_patches(ev, keys=("user_id",))
+    return out.select(
+        "user_id", "lsn", "op", "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+CDC_PATCH_FOLD_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id AS lsn,
+         CASE WHEN event_id % 7 = 0 THEN 'D'
+              WHEN event_id % 5 = 0 THEN 'P' ELSE 'U' END AS op,
+         CASE WHEN event_id % 7 = 0 OR event_id % 5 = 0 THEN NULL
+              ELSE event_type END AS event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+  FROM events
+),
+g0 AS (
+  SELECT user_id,
+         max(lsn)           FILTER (op <> 'P') AS f_lsn,
+         -- the full image rides a STRUCT: arg_max over a bare column would
+         -- SKIP null values (a delete's null image) and resurrect an older
+         -- non-null one
+         arg_max({'op': op, 'etype': event_type, 'val': value}, lsn)
+             FILTER (op <> 'P') AS f,
+         arg_max(event_type, lsn) FILTER (op = 'P' AND event_type IS NOT NULL) AS p_etype,
+         max(lsn)                 FILTER (op = 'P' AND event_type IS NOT NULL) AS pl_etype,
+         arg_max(value, lsn)      FILTER (op = 'P' AND value IS NOT NULL) AS p_value,
+         max(lsn)                 FILTER (op = 'P' AND value IS NOT NULL) AS pl_value
+  FROM ev GROUP BY user_id
+),
+g AS (
+  SELECT user_id, f_lsn, f.op AS f_op, f.etype AS f_etype, f.val AS f_value,
+         p_etype, pl_etype, p_value, pl_value
+  FROM g0
+)
+SELECT user_id,
+       CASE WHEN f_op = 'D' THEN f_lsn
+            ELSE coalesce(
+              CASE WHEN pl_value IS NOT NULL AND (f_lsn IS NULL OR pl_value > f_lsn)
+                        AND (pl_etype IS NULL OR pl_value >= pl_etype) THEN pl_value
+                   WHEN pl_etype IS NOT NULL AND (f_lsn IS NULL OR pl_etype > f_lsn) THEN pl_etype
+              END, f_lsn) END AS lsn,
+       CASE WHEN f_op = 'D' THEN 'D'
+            WHEN f_lsn IS NULL THEN 'P' ELSE f_op END AS op,
+       CASE WHEN f_op = 'D' THEN f_etype
+            WHEN f_lsn IS NULL THEN p_etype
+            WHEN pl_etype IS NOT NULL AND pl_etype > f_lsn THEN p_etype
+            ELSE f_etype END AS event_type,
+       round(CASE WHEN f_op = 'D' THEN f_value
+                  WHEN f_lsn IS NULL THEN p_value
+                  WHEN pl_value IS NOT NULL AND pl_value > f_lsn THEN p_value
+                  ELSE f_value END, 6) AS value
+FROM g
+"""
+
+
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
+    "cdc_patch_fold": (cdc_patch_fold, CDC_PATCH_FOLD_SQL),
     "cdc_scd2_history": (cdc_scd2_history, _scd2_sql()),
     "cdc_scd2_incremental": (cdc_scd2_incremental, _scd2_sql()),
     "cdc_replay_embeddings": (cdc_replay_embeddings, CDC_REPLAY_EMB_SQL),

@@ -508,6 +508,52 @@ SELECT cell, a, b, cos FROM (
 """
 
 
+def dedup_embedding_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup verdict: connected components over the
+    embedding-cosine near-dup graph (k-means fixture cells), one canonical
+    survivor (min vec_id) per component. The embedding analogue of
+    `dedup_keep_list` — the table a pipeline joins to drop semantic
+    near-duplicates the text-level dedups can't see. Same distributed
+    shape: cell-blocked pair join → min-label propagation, shuffles only
+    ids and labels."""
+    from embulk_filter_copy_spark.operators import dedup as DD
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(_kmeans_fixture_path())
+    pairs = DD.embedding_near_dup_pairs(
+        emb, threshold=0.35, n_cells=4, method="join", centroids=cents
+    )
+    comp = DD.connected_components(
+        pairs, emb.select("vec_id"), node_col="vec_id"
+    )
+    return comp.select(
+        "vec_id", "comp", (F.col("vec_id") == F.col("comp")).alias("keep")
+    )
+
+
+DEDUP_EMB_KEEP_SQL = f"""
+WITH RECURSIVE {_kmeans_cell_cte()},
+pairs AS (
+  SELECT a, b FROM (
+    SELECT x.vec_id AS a, y.vec_id AS b, round({_DCOS}, 4) AS cos
+    FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  ) WHERE cos >= 0.35
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS vec_id, min(lbl) AS comp FROM reach GROUP BY node)
+SELECT vec_id, comp, vec_id = comp AS keep FROM comp
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), n_planes=4, k=5)
@@ -1120,6 +1166,7 @@ QUERIES = {
     "ann_ivf_joinpath_topk": (ann_ivf_joinpath_topk, _ivf_sql()),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, ANN_KMEANS_SQL),
     "dedup_embedding_kmeans": (dedup_embedding_kmeans, DEDUP_EMB_KMEANS_SQL),
+    "dedup_embedding_keep_list": (dedup_embedding_keep_list, DEDUP_EMB_KEEP_SQL),
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_quality_by_source": (text_quality_by_source, TEXT_QUALITY_SQL),
     "text_lang_id_confusion": (text_lang_id_confusion, _lang_id_sql()),
