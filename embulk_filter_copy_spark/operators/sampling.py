@@ -252,3 +252,99 @@ def chunk_documents(
             f"concat_ws(' ', slice(split({text_col}, ' '), _s + 1, {chunk_tokens}))"
         ).alias("chunk_text"),
     )
+
+
+def split_leakage_safe(
+    df: DataFrame,
+    pairs: DataFrame,
+    ratios: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split:",
+    algorithm: str = "label",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: route every member of a
+    near-duplicate COMPONENT to the same split, so no near-copy of a
+    training document can land in the held-out sets (the benchmark-
+    contamination failure mode a per-document hash split has by
+    construction — two 99%-identical docs hash independently).
+
+    ``pairs`` is any near-dup candidate edge list (``a``/``b`` columns —
+    MinHash LSH, SimHash bands, embedding-cosine blocks…). Components come
+    from the existing CC operators (``algorithm='label'`` propagation, or
+    ``'star'`` for long-chain graphs); the split is then a pure function
+    of the COMPONENT id on the shared portable-hash grid: ratios are
+    quantized to the 1e-6 grid in Python and laid out as contiguous
+    half-open intervals in dict-insertion order, so any engine reproduces
+    the exact assignment. Cost beyond the CC rounds: zero extra shuffles —
+    the split column is a narrow map over the component label.
+
+    Returns (key, comp, split)."""
+    from embulk_filter_copy_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    if not ratios:
+        raise ValueError("ratios must be a non-empty {split_name: fraction}")
+    for name, frac in ratios.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"ratio for {name!r} must be in [0, 1], got {frac}")
+    total = sum(ratios.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1.0, got {total}")
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comp = cc(pairs, df.select(key_col), node_col=key_col)
+
+    u = F.expr(f"pmod({spark_phash('comp', salt)}, {HASH_MOD})")
+    names = list(ratios)
+    cuts, acc = [], 0
+    for name in names:
+        acc += int(round(ratios[name] * HASH_MOD))
+        cuts.append(acc)
+    cuts[-1] = HASH_MOD  # rounding never orphans the top of the grid
+    expr = F.when(u < F.lit(cuts[0]), F.lit(names[0]))
+    for name, hi in zip(names[1:], cuts[1:]):
+        expr = expr.when(u < F.lit(hi), F.lit(name))
+    return comp.select(key_col, "comp", expr.alias("split"))
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "cap:",
+) -> DataFrame:
+    """Per-domain token-budget cap: keep documents from each group in
+    deterministic hash order until the group's running token total reaches
+    ``budget`` — the quota stage that stops one huge domain (CommonCrawl)
+    from drowning the mixture regardless of its row count.
+
+    Same distributed shape as :func:`pack_sequences`: ONE shuffle keyed on
+    the group, one window, exclusive running sum — a row survives iff the
+    tokens BEFORE it are under budget, so the cap overflows by at most one
+    document per group (bounded waste; the strict variant would emit
+    partially-taken documents, which a training pipeline can't use). Hash
+    order makes the kept set uniform over the group and replayable — the
+    hottest group bounds skew, and the pre-thinning pattern from the
+    module docstring applies identically.
+
+    Returns the surviving rows plus ``grp_tokens_before`` (the exclusive
+    running sum — 100 TB operators expose their audit trail)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if tokens_col is None:
+        df = df.withColumn("n_tok", F.size(F.split(F.col(text_col), " ")))
+        tokens_col = "n_tok"
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.expr(spark_phash(key_col, salt)), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (
+        df.withColumn("grp_tokens_before", excl)
+        .filter(F.col("grp_tokens_before") < F.lit(budget))
+    )

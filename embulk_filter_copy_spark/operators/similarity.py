@@ -433,3 +433,50 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "bucket", "rank", "neighbor_id", "cos")
     )
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 4,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Index-quality gate: per-query recall@k of the IVF index against the
+    brute-force ground truth — the measurement that decides whether an
+    approximate index is allowed to serve a pipeline stage (dedup blocking,
+    retrieval mixing) before 100 TB flows through it.
+
+    Both rankings run through the existing operators (identical rounding
+    and tie-breaks), then a LEFT join from truth to the approximate set
+    counts hits: recall = |approx ∩ truth| / |truth| per query (|truth|,
+    not k — a query with fewer than k valid neighbors isn't penalized for
+    arithmetic it can't win). The join keys are (query, neighbor) id pairs
+    — k·|queries| rows, broadcastable at any corpus size; the dominant
+    cost stays the two rankings themselves."""
+    truth = ann_bruteforce_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
+    approx = ann_ivf_topk(
+        emb, queries, n_cells=n_cells, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, method=method, centroids=centroids,
+    )
+    hit = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    joined = truth.select("query_id", "neighbor_id").join(
+        F.broadcast(hit), ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )

@@ -45,6 +45,9 @@ _PRIORITY = [
     "dedup_embedding_kmeans",
     "dedup_embedding_keep_list",
     "cdc_patch_fold",
+    "sample_leakage_safe_split",
+    "sample_domain_token_cap",
+    "ann_ivf_recall",
 ]
 
 # Long-green rows (every one has a passing driver row in CORRECTNESS_r03)
@@ -67,6 +70,9 @@ _DEPRIORITIZED = [
     "dedup_simhash64_pairs",
     "ann_ivf_joinpath_topk",
     "dedup_jaccard_pairs",
+    "window_topk_orders_per_segment",
+    "join_range_click_purchase",
+    "q5_local_supplier_volume",
 ]
 
 for n in _PRIORITY + _DEPRIORITIZED:

@@ -554,6 +554,121 @@ SELECT vec_id, comp, vec_id = comp AS keep FROM comp
 """
 
 
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: near-dup components (MinHash LSH graph)
+    routed whole to one split — no near-copy of a training doc can land in
+    val/test. Oracle: the recursive-CTE component walk + the same
+    portable-hash interval layout over the component id."""
+    docs = t(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=8)
+    pairs = D.minhash_candidate_pairs(
+        sig, bands=4, rows_per_band=2, max_bucket_size=_MINHASH_CAP
+    )
+    return SA.split_leakage_safe(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def _leakage_split_sql() -> str:
+    ctes, union = _minhash_pairs_ctes()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({union}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS comp FROM reach GROUP BY node)
+SELECT doc_id, comp,
+       CASE WHEN u < 800000 THEN 'train'
+            WHEN u < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, comp,
+             ({duck_phash("comp", "split:")} % 1000000) AS u
+      FROM comp)
+"""
+
+
+def sample_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget quota: keep docs in hash order until each
+    source hits 20k tokens — the domain-cap stage of a mixture build."""
+    kept = SA.cap_tokens_per_group(
+        t(spark, sf_dir, "documents"), budget=20_000,
+        group_col="source", key_col="doc_id",
+    )
+    return kept.select(
+        "doc_id", "source", "n_tok",
+        F.col("grp_tokens_before").cast("long").alias("grp_tokens_before"),
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+         {duck_phash("doc_id", "cap:")} AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+             PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS grp_tokens_before
+  FROM tk
+)
+SELECT doc_id, source, n_tok, grp_tokens_before
+FROM r WHERE grp_tokens_before < 20000
+"""
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality gate: per-query recall@5 of the IVF index (positional
+    centroids, nprobe=1) vs brute-force ground truth. The oracle replays
+    BOTH rankings and the hit join."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ann_recall_report(
+        emb, emb.filter(F.col("vec_id") < 5), n_cells=4, k=5, nprobe=1
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH {_cell_cte(4)},
+bt AS (
+  SELECT y.vec_id AS query_id, x.vec_id AS neighbor_id, round({_DCOS}, 4) AS cos
+  FROM e x JOIN e y ON y.vec_id < 5 AND x.vec_id <> y.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM bt
+  ) WHERE rank <= 5
+),
+iv AS (
+  SELECT y.vec_id AS query_id, x.vec_id AS neighbor_id, round({_DCOS}, 4) AS cos
+  FROM b x JOIN b y ON x.cell = y.cell AND y.vec_id < 5 AND x.vec_id <> y.vec_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM iv
+  ) WHERE rank <= 5
+)
+SELECT t.query_id,
+       count(*) AS n_truth,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+FROM truth t LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), n_planes=4, k=5)
@@ -1167,6 +1282,9 @@ QUERIES = {
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, ANN_KMEANS_SQL),
     "dedup_embedding_kmeans": (dedup_embedding_kmeans, DEDUP_EMB_KMEANS_SQL),
     "dedup_embedding_keep_list": (dedup_embedding_keep_list, DEDUP_EMB_KEEP_SQL),
+    "sample_leakage_safe_split": (sample_leakage_safe_split, _leakage_split_sql()),
+    "sample_domain_token_cap": (sample_domain_token_cap, DOMAIN_CAP_SQL),
+    "ann_ivf_recall": (ann_ivf_recall, ANN_RECALL_SQL),
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_quality_by_source": (text_quality_by_source, TEXT_QUALITY_SQL),
     "text_lang_id_confusion": (text_lang_id_confusion, _lang_id_sql()),

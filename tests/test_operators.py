@@ -690,3 +690,89 @@ def test_near_dup_kmeans_cells_recall_vs_positional(spark):
     n_blob_pairs = 3 * (20 * 19 // 2)
     assert len(km_pairs) == n_blob_pairs
     assert km_pairs >= pos_pairs
+
+
+# ------------------------------------------------- round-4 selection ops
+def test_leakage_safe_split_routes_components_together(spark):
+    from embulk_filter_copy_spark.operators import sampling as SA
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # components: {0,1,2}, {10,11}, singletons elsewhere
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "a long, b long"
+    )
+    for algo in ("label", "star"):
+        out = SA.split_leakage_safe(
+            df, pairs, {"train": 0.8, "val": 0.1, "test": 0.1},
+            algorithm=algo,
+        )
+        rows = out.collect()
+        assert len(rows) == 40
+        by_id = {r["doc_id"]: r for r in rows}
+        # every component member shares comp AND split
+        assert len({(by_id[i]["comp"], by_id[i]["split"]) for i in (0, 1, 2)}) == 1
+        assert len({(by_id[i]["comp"], by_id[i]["split"]) for i in (10, 11)}) == 1
+        assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # both algorithms produce the identical assignment
+    a = SA.split_leakage_safe(df, pairs, {"train": 0.5, "test": 0.5}).collect()
+    b = SA.split_leakage_safe(
+        df, pairs, {"train": 0.5, "test": 0.5}, algorithm="star"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_leakage_safe_split_validates_ratios(spark):
+    from embulk_filter_copy_spark.operators import sampling as SA
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        SA.split_leakage_safe(df, pairs, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError, match="non-empty"):
+        SA.split_leakage_safe(df, pairs, {})
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        SA.split_leakage_safe(df, pairs, {"train": 1.5, "val": -0.5})
+
+
+def test_cap_tokens_per_group_budget_bound(spark):
+    from embulk_filter_copy_spark.operators import sampling as SA
+
+    rows = [(g * 100 + i, f"g{g}", "tok " * 9 + "tok") for g in range(3)
+            for i in range(20)]  # 10 tokens per doc, 200 per group
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = SA.cap_tokens_per_group(
+        df, budget=55, group_col="source", key_col="doc_id"
+    )
+    pdf = kept.toPandas()
+    per_group = pdf.groupby("source")["n_tok"].sum()
+    # exclusive-cumsum cap: kept tokens < budget + one doc's overflow
+    assert (per_group <= 55 + 10 - 1).all() and (per_group >= 55).all()
+    # deterministic: rerun keeps the identical doc set
+    again = SA.cap_tokens_per_group(
+        df, budget=55, group_col="source", key_col="doc_id"
+    ).toPandas()
+    assert sorted(pdf["doc_id"]) == sorted(again["doc_id"])
+    # a group smaller than the budget survives whole
+    small = SA.cap_tokens_per_group(
+        df, budget=10_000, group_col="source", key_col="doc_id"
+    )
+    assert small.count() == 60
+    with pytest.raises(ValueError, match="positive"):
+        SA.cap_tokens_per_group(df, budget=0)
+
+
+def test_ann_recall_report_full_probe_is_exact(spark):
+    """nprobe = n_cells probes every inverted list -> the IVF candidate set
+    contains the brute-force candidate set -> recall@k == 1.0 everywhere."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    rep = S.ann_recall_report(
+        emb, queries, n_cells=4, k=5, nprobe=4, method="join"
+    ).collect()
+    assert len(rep) == 3
+    assert all(r["recall"] == 1.0 and r["n_truth"] == 5 for r in rep)
+    # single-probe recall is a valid fraction and the report covers all
+    # queries even when a probe misses everything
+    rep1 = S.ann_recall_report(emb, queries, n_cells=4, k=5, nprobe=1).collect()
+    assert len(rep1) == 3
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rep1)
