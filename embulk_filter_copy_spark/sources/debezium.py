@@ -55,20 +55,50 @@ def envelope_struct(columns: list[tuple[str, object]]) -> T.StructType:
                 True,
             ),
             T.StructField("ts_ms", T.LongType(), True),
+            T.StructField(
+                # Debezium MongoDB-connector partial updates: the changed
+                # columns arrive as a JSON document under
+                # updateDescription.updatedFields INSTEAD of a full `after`
+                # image. Absent from relational envelopes -> null, no cost.
+                "updateDescription",
+                T.StructType(
+                    [T.StructField("updatedFields", T.StringType(), True)]
+                ),
+                True,
+            ),
             T.StructField("schema_change", T.StringType(), True),
         ]
     )
 
 
 def _event_cols(env: Column, columns: list[tuple[str, str]]) -> list[Column]:
+    # an update WITHOUT a full after-image but WITH updatedFields is a
+    # partial-image patch (Debezium MongoDB oplog shape): op='P', image =
+    # the patch document parsed over the row type — absent fields stay
+    # NULL, which is exactly the "unchanged" contract
+    # `cdc.dedup.fold_patches` resolves (keys must ride in the patch doc,
+    # which Mongo guarantees via the _id filter; relational envelopes
+    # always carry `after`, so the branch never fires for them)
+    upd = env["updateDescription"]["updatedFields"]
+    is_patch = (env["op"] == "u") & env["after"].isNull() & upd.isNotNull()
     op = (
         F.when(env["op"].isin("c", "r"), F.lit("I"))
-        .when(env["op"] == "u", F.lit("U"))
+        .when(env["op"] == "u", F.when(is_patch, F.lit("P")).otherwise(F.lit("U")))
         .when(env["op"] == "d", F.lit("D"))
         .when(env["op"] == "s", F.lit("S"))
         .otherwise(F.lit(None))
     )
-    image = F.when(op == "D", env["before"]).otherwise(env["after"])
+    row = T.StructType(
+        [
+            T.StructField(n, spark_type(t) if isinstance(t, str) else t, True)
+            for n, t in columns
+        ]
+    )
+    image = (
+        F.when(op == "D", env["before"])
+        .when(op == "P", F.from_json(upd, row))
+        .otherwise(env["after"])
+    )
     ts_ms = F.coalesce(env["ts_ms"], env["source"]["ts_ms"])
     cols = [
         env["source"]["lsn"].alias("lsn"),

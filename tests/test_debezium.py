@@ -238,3 +238,71 @@ def test_kafka_source_integration_against_broker():
         "the value column takes the identical parse_debezium path the "
         "file-stream e2e test (test_debezium_file_stream_*) verifies."
     )
+
+
+def test_parse_mongo_patch_envelope(spark):
+    """Debezium MongoDB partial update: no after image, changed fields in
+    updateDescription.updatedFields -> op='P' with NULLs for untouched
+    columns (the fold_patches 'unchanged' contract)."""
+    import json
+
+    from embulk_filter_copy_spark.sources.debezium import parse_debezium
+
+    cols = [("repo", "string"), ("path", "string"),
+            ("commit", "string"), ("content", "string")]
+    lines = [
+        # full-image relational update stays 'U'
+        json.dumps({"op": "u",
+                    "after": {"repo": "r1", "path": "p", "commit": "c2",
+                              "content": "full"},
+                    "source": {"lsn": 2, "ts_ms": 1000}}),
+        # mongo-style patch: keys + one changed column
+        json.dumps({"op": "u", "after": None,
+                    "updateDescription": {"updatedFields": json.dumps(
+                        {"repo": "r1", "path": "p", "content": "patched"})},
+                    "source": {"lsn": 3, "ts_ms": 2000}}),
+        # update with neither image stays 'U' (not silently patched)
+        json.dumps({"op": "u", "source": {"lsn": 4, "ts_ms": 3000}}),
+    ]
+    df = spark.createDataFrame([(s,) for s in lines], "value string")
+    out = {r["lsn"]: r for r in parse_debezium(df, cols).collect()}
+    assert out[2]["op"] == "U" and out[2]["content"] == "full"
+    assert out[3]["op"] == "P"
+    assert out[3]["content"] == "patched" and out[3]["commit"] is None
+    assert (out[3]["repo"], out[3]["path"]) == ("r1", "p")
+    assert out[4]["op"] == "U" and not out[4]["_bad"]
+
+
+def test_mongo_patch_stream_end_to_end(spark, tmp_path):
+    """jsonl patch envelopes -> parse -> apply_batch(dedup='patch'): the
+    full Mongo-CDC ingest path lands per-column folded state."""
+    import json
+
+    from embulk_filter_copy_spark.cdc.apply import apply_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+    from embulk_filter_copy_spark.sources.debezium import read_debezium_jsonl
+
+    cols = [("repo", "string"), ("path", "string"),
+            ("commit", "string"), ("content", "string")]
+    lines = [
+        json.dumps({"op": "c",
+                    "after": {"repo": "r1", "path": "p", "commit": "c1",
+                              "content": "v1"},
+                    "source": {"lsn": 1, "ts_ms": 1000}}),
+        json.dumps({"op": "u", "after": None,
+                    "updateDescription": {"updatedFields": json.dumps(
+                        {"repo": "r1", "path": "p", "content": "v2"})},
+                    "source": {"lsn": 2, "ts_ms": 2000}}),
+    ]
+    src = tmp_path / "dbz"
+    src.mkdir()
+    (src / "events.jsonl").write_text("\n".join(lines) + "\n")
+    ev = read_debezium_jsonl(spark, str(src), cols)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), cols, key_columns=["repo", "path"],
+        n_buckets=4,
+    )
+    apply_batch(table, ev, run_id="m", epoch=0, dedup="patch")
+    row = table.read().collect()[0]
+    # patch applied over the created image: commit survives, content patched
+    assert (row["commit"], row["content"]) == ("c1", "v2")

@@ -251,3 +251,36 @@ def test_materialized_view_as_of_filter_reaches_scan(spark, tmpdir_path):
     assert "PushedFilters" in p
     pushed = p.split("PushedFilters", 1)[1][:300]
     assert "valid_from_lsn" in pushed
+
+
+def test_cap_tokens_plan_single_shuffle_and_fold_patches_partial(spark):
+    """cap_tokens_per_group = ONE group-keyed exchange (window + filter);
+    fold_patches keeps every aggregate partial (map-side) around ONE
+    shuffle — the properties that bound both at 10^10 rows."""
+    import re
+
+    from embulk_filter_copy_spark.operators.sampling import cap_tokens_per_group
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(cap_tokens_per_group(docs, budget=1000), "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+    from embulk_filter_copy_spark.cdc.dedup import fold_patches
+
+    ev = gen_change_events(spark, 100, 500, seed=1)
+    pf = plan(fold_patches(ev), "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", pf)) == 1
+    # map-side partial aggregation below the single exchange (struct-typed
+    # max_by plans as SortAggregate, so match the function, not the node)
+    assert "partial_max_by" in pf
+
+
+def test_ann_recall_plan_broadcasts_hit_join(spark):
+    """The truth->approx hit join carries k*|queries| id pairs and must be
+    a broadcast, never a shuffle of the rankings."""
+    from embulk_filter_copy_spark.operators.similarity import ann_recall_report
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(ann_recall_report(emb, emb.filter(F.col("vec_id") < 3),
+                               n_cells=4, k=5, nprobe=1))
+    assert "BroadcastHashJoin" in p
