@@ -93,6 +93,9 @@ HEADLINE_QUERIES = [
     "ann_lsh_topk",
     "text_quality_by_source",
     "multimodal_metadata",
+    "cdc_patch_fold",
+    "sample_domain_token_cap",
+    "ann_ivf_recall",
 ]
 
 
