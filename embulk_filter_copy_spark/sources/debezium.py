@@ -115,6 +115,7 @@ def parse_debezium(
     columns: list[tuple[str, str]],
     value_col: str = "value",
     payload_wrapper: bool = False,
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Parse a column of Debezium JSON strings into engine events.
 
@@ -137,9 +138,8 @@ def parse_debezium(
     # to an unknown/missing op (anything outside c/r/u/d/s maps op to NULL
     # and would otherwise vanish through every downstream op filter without
     # being counted — both failure shapes route through the same _bad path)
-    return out.withColumn(
-        "_bad", F.col("_raw").isNotNull() & F.col("op").isNull()
-    ).drop("_raw")
+    out = out.withColumn("_bad", F.col("_raw").isNotNull() & F.col("op").isNull())
+    return out if keep_raw else out.drop("_raw")
 
 
 def read_debezium_jsonl(
@@ -149,6 +149,7 @@ def read_debezium_jsonl(
     streaming: bool = False,
     payload_wrapper: bool = False,
     drop_malformed: bool = True,
+    dead_letter_path: str | None = None,
     options: dict | None = None,
 ) -> DataFrame:
     """Read newline-delimited Debezium JSON files (batch or file-stream)
@@ -158,13 +159,43 @@ def read_debezium_jsonl(
     ``_bad=true``; ``drop_malformed`` filters them (count them upstream via
     ``observe`` if a dead-letter metric is needed — keeping the filter
     declarative preserves pushdown of later predicates into the scan).
+
+    ``dead_letter_path`` (batch reads only) appends the RAW offending lines
+    plus the source file and a read timestamp as parquet before they are
+    filtered — the replayable quarantine a production CDC ingest needs (the
+    raw line is the only trustworthy artifact of an unparseable event; the
+    parsed columns are garbage by definition). Streaming reads raise: a
+    side write inside a streaming plan needs its own sink/foreachBatch, and
+    silently skipping the dead letter would be worse than refusing.
     """
+    if dead_letter_path is not None and streaming:
+        raise ValueError(
+            "dead_letter_path is batch-only: wire a second sink (or "
+            "foreachBatch) for streaming dead letters"
+        )
     line = T.StructType([T.StructField("value", T.StringType(), True)])
     reader = (spark.readStream if streaming else spark.read).schema(line)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     raw = reader.text(path)
-    ev = parse_debezium(raw, columns, value_col="value", payload_wrapper=payload_wrapper)
+    ev = parse_debezium(
+        raw, columns, value_col="value", payload_wrapper=payload_wrapper,
+        keep_raw=dead_letter_path is not None,
+    )
+    if dead_letter_path is not None:
+        # one extra job over the same scan; Catalyst prunes it to
+        # (value -> op-null filter), so the cost is a re-read of bad lines
+        (
+            ev.filter(F.col("_bad"))
+            .select(
+                F.col("_raw").alias("value"),
+                F.input_file_name().alias("source_file"),
+                F.current_timestamp().alias("read_at"),
+            )
+            .write.mode("append")
+            .parquet(dead_letter_path)
+        )
+        ev = ev.drop("_raw")
     if drop_malformed:
         ev = ev.filter(~F.col("_bad"))
     return ev.drop("_bad")

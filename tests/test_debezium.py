@@ -2,6 +2,8 @@
 table state matches applying the equivalent native events."""
 
 import json
+
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -306,3 +308,27 @@ def test_mongo_patch_stream_end_to_end(spark, tmp_path):
     row = table.read().collect()[0]
     # patch applied over the created image: commit survives, content patched
     assert (row["commit"], row["content"]) == ("c1", "v2")
+
+
+def test_dead_letter_path_captures_raw_lines(spark, tmp_path):
+    import json
+
+    from embulk_filter_copy_spark.sources.debezium import read_debezium_jsonl
+
+    cols = [("repo", "string"), ("path", "string")]
+    good = json.dumps({"op": "c", "after": {"repo": "r", "path": "p"},
+                       "source": {"lsn": 1, "ts_ms": 1}})
+    lines = [good, "{not json", json.dumps({"op": "zz"})]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(lines) + "\n")
+    dlq = str(tmp_path / "dlq")
+    ev = read_debezium_jsonl(spark, str(src), cols, dead_letter_path=dlq)
+    assert ev.count() == 1  # only the good line survives
+    dead = spark.read.parquet(dlq)
+    vals = {r["value"] for r in dead.collect()}
+    assert vals == {"{not json", json.dumps({"op": "zz"})}
+    assert all(r["source_file"].endswith("a.jsonl") for r in dead.collect())
+    with pytest.raises(ValueError, match="batch-only"):
+        read_debezium_jsonl(spark, str(src), cols, streaming=True,
+                            dead_letter_path=dlq)
