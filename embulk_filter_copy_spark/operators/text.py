@@ -187,9 +187,10 @@ def unigram_logprob(
     Distributed shape: token counts aggregate map-side (shuffle carries
     (token, count), never text); the vocabulary table is BROADCAST back
     onto the token stream (a 10^7-type vocab is ~100 MB — broadcastable;
-    beyond that pass ``vocab`` pre-aggregated from a sample). One scan of
-    the corpus feeds both the vocab build and the scoring join via an
-    explode that Catalyst re-reads from the parquet scan, not a cache.
+    beyond that pass ``vocab`` pre-aggregated from a sample). When fitting
+    in-line the token stream is checkpointed so ONE corpus scan feeds both
+    the vocab build and the scoring join; with a frozen ``vocab`` the
+    single consumer needs no materialization.
 
     Returns (id, n_tokens, mean_logprob) with natural-log probabilities
     (unrounded — callers comparing across engines round with the shared
@@ -204,6 +205,11 @@ def unigram_logprob(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     if vocab is None:
+        # in-line fit: the token stream feeds BOTH the vocab build and the
+        # scoring join — checkpoint it so the corpus is scanned+tokenized
+        # ONCE (without this, Catalyst re-derives each consumer from the
+        # scan: two full corpus passes, the round-3 acknowledged debt)
+        tok_pos = tok_pos.localCheckpoint(eager=False)
         vocab = tok_pos.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     # add-one smoothing over the observed vocabulary: p(t) = (c_t + 1) / (N + V)
     totals = vocab.agg(
