@@ -61,6 +61,7 @@ class FanoutApplier:
         quarantine: tuple[str, int] | None = None,
         merge_mode: str = "cow",
         max_sink_threads: int = 8,
+        dead_letter: str | None = None,
     ):
         self.spark = spark
         self.leaves = leaves
@@ -70,6 +71,7 @@ class FanoutApplier:
         self.n_salts = n_salts
         self.quarantine = quarantine
         self.merge_mode = merge_mode
+        self.dead_letter = dead_letter
         self.max_sink_threads = max_sink_threads
         self.results: list[dict] = []
         self._keys_match: bool | None = None
@@ -144,6 +146,22 @@ class FanoutApplier:
         from pyspark.sql import functions as F
 
         from embulk_filter_copy_spark.cdc.dedup import dedup_events
+
+        if self.dead_letter is not None and "_bad" in batch_df.columns:
+            # capture the RAW offending lines through the same idempotent
+            # per-(run, epoch, sink) directory machinery as late-data
+            # quarantine (crash-replay overwrites, never duplicates;
+            # `compact-quarantine` GCs the DLQ root the same way)
+            from embulk_filter_copy_spark.cdc.apply import write_quarantine
+
+            write_quarantine(
+                batch_df.filter(F.col("_bad")).select(
+                    F.col("_raw").alias("value"),
+                    F.current_timestamp().alias("read_at"),
+                ),
+                self.dead_letter, self.run_id, int(epoch_id), "_dlq",
+            )
+            batch_df = batch_df.filter(~F.col("_bad")).drop("_bad", "_raw")
 
         dedup_mode = self.dedup
         if (
@@ -229,6 +247,7 @@ def replay_stream(
     source_format: str = "parquet",
     payload_wrapper: bool = False,
     kafka_options: dict | None = None,
+    dead_letter: str | None = None,
 ) -> list[dict]:
     """Structured-Streaming replay of an event-log directory into N sinks.
 
@@ -239,14 +258,27 @@ def replay_stream(
 
     ``fail_after_epoch`` injects a crash after that epoch commits (test
     hook for resume semantics).
+
+    ``dead_letter`` (Debezium/Kafka sources only): instead of silently
+    dropping malformed envelope lines, capture the raw bytes per epoch
+    under this root via the idempotent quarantine-directory machinery —
+    replayable, crash-safe, GC'd by ``compact-quarantine``.
     """
+    if dead_letter is not None and source_format not in (
+        "debezium-jsonl", "kafka",
+    ):
+        raise ValueError(
+            "dead_letter applies to envelope sources (debezium-jsonl/kafka);"
+            " typed parquet rows cannot be malformed — a configured-but-dead"
+            " DLQ would be worse than none"
+        )
     if isinstance(sinks, str):
         sinks = SinkSpec(name="primary", path=sinks)
     leaves = flatten_specs(sinks)
     run_id = run_id_for_checkpoint(checkpoint)
     applier = FanoutApplier(
         spark, leaves, run_id, keys=keys, dedup=dedup, n_salts=n_salts,
-        quarantine=quarantine, merge_mode=merge_mode,
+        quarantine=quarantine, merge_mode=merge_mode, dead_letter=dead_letter,
     )
 
     if fail_after_epoch is not None:
@@ -288,18 +320,33 @@ def replay_stream(
         ]
 
     if source_format == "debezium-jsonl":
-        # Debezium JSON envelopes (newline-delimited file stream)
-        from embulk_filter_copy_spark.sources.debezium import read_debezium_jsonl
+        # Debezium JSON envelopes (newline-delimited file stream). With a
+        # DLQ the _bad/_raw columns ride to foreachBatch where the applier
+        # captures then drops them; without one, bad lines drop at parse.
+        from embulk_filter_copy_spark.sources.debezium import (
+            parse_debezium,
+            read_debezium_jsonl,
+        )
 
         opts = (
             {"maxFilesPerTrigger": max_files_per_trigger}
             if max_files_per_trigger is not None
             else None
         )
-        stream = read_debezium_jsonl(
-            spark, events_path, _row_image_columns(), streaming=True, options=opts,
-            payload_wrapper=payload_wrapper,
-        )
+        if dead_letter is not None:
+            line = T.StructType([T.StructField("value", T.StringType(), True)])
+            reader = spark.readStream.schema(line)
+            for k, v in (opts or {}).items():
+                reader = reader.option(k, v)
+            stream = parse_debezium(
+                reader.text(events_path), _row_image_columns(),
+                payload_wrapper=payload_wrapper, keep_raw=True,
+            )
+        else:
+            stream = read_debezium_jsonl(
+                spark, events_path, _row_image_columns(), streaming=True,
+                options=opts, payload_wrapper=payload_wrapper,
+            )
     elif source_format == "kafka":
         # Debezium over Kafka: ``events_path`` is the topic subscription and
         # ``kafka_options`` carries the connection config (bootstrap
@@ -316,8 +363,13 @@ def replay_stream(
         for k, v in (kafka_options or {}).items():
             reader = reader.option(k, v)
         raw = reader.load().selectExpr("CAST(value AS STRING) AS value")
-        ev = parse_debezium(raw, _row_image_columns(), payload_wrapper=payload_wrapper)
-        stream = ev.filter(~F.col("_bad")).drop("_bad")
+        ev = parse_debezium(
+            raw, _row_image_columns(), payload_wrapper=payload_wrapper,
+            keep_raw=dead_letter is not None,
+        )
+        if dead_letter is None:
+            ev = ev.filter(~F.col("_bad")).drop("_bad")
+        stream = ev
     else:
         reader = spark.readStream.schema(event_schema or event_struct())
         if max_files_per_trigger is not None:
@@ -330,9 +382,15 @@ def replay_stream(
     # watermarked dedup of exact re-deliveries on the north_star key
     # (repo, path, lsn); state is bounded by the watermark. LWW + the merge
     # LSN guard downstream make this an optimization, not a correctness
-    # dependency.
+    # dependency. In dead-letter mode the raw line joins the key: malformed
+    # rows are all-null on (keys, lsn) and would otherwise collapse to one
+    # captured line per watermark window; for well-formed rows identical
+    # re-deliveries still dedup (identical bytes), and a contract-violating
+    # same-LSN-different-bytes pair now reaches the LWW stage, which
+    # resolves it the documented way.
+    dd_keys = [*keys, "lsn", *(["_raw"] if "_raw" in stream.columns else [])]
     stream = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        [*keys, "lsn"]
+        dd_keys
     )
     q = (
         stream.writeStream.foreachBatch(applier)

@@ -66,6 +66,7 @@ def cmd_replay(args) -> None:
         merge_mode=args.merge_mode,
         source_format=args.format,
         payload_wrapper=args.payload_wrapper,
+        dead_letter=args.dead_letter,
     )
     print(json.dumps({"epochs": len(results), "rows_applied": sum(r.get("rows_applied", 0) for r in results)}))
 
@@ -207,6 +208,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="cow = read-optimized rewrite; mor = write-optimized delta append")
     r.add_argument("--quarantine", default=None, help="parquet path for late events")
     r.add_argument("--quarantine-delta", type=int, default=600)
+    r.add_argument("--dead-letter", default=None,
+                   help="root for raw malformed envelope lines (debezium-jsonl"
+                        " format only); GC'd by compact-quarantine")
 
     c = sub.add_parser("compact", help="compact small files / purge tombstones")
     c.add_argument("--table", required=True)

@@ -332,3 +332,51 @@ def test_dead_letter_path_captures_raw_lines(spark, tmp_path):
     with pytest.raises(ValueError, match="batch-only"):
         read_debezium_jsonl(spark, str(src), cols, streaming=True,
                             dead_letter_path=dlq)
+
+
+def test_streaming_dead_letter_capture(spark, tmp_path):
+    """debezium-jsonl stream with a DLQ: malformed lines land as raw bytes
+    under the quarantine-dir machinery, well-formed events apply, and a
+    checkpoint re-run does not duplicate the captured lines."""
+    from embulk_filter_copy_spark.cdc.apply import read_quarantine
+    from embulk_filter_copy_spark.cdc.replayer import replay_stream
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    cols = [("repo", "string"), ("path", "string"), ("content", "string")]
+    good = json.dumps({"op": "c",
+                       "after": {"repo": "r", "path": "p", "content": "v"},
+                       "source": {"lsn": 1, "ts_ms": 1000}})
+    bad1, bad2 = "{corrupt", json.dumps({"op": "??", "source": {"lsn": 9}})
+    src = tmp_path / "wal"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join([good, bad1, bad2]) + "\n")
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), cols, key_columns=["repo", "path"],
+        n_buckets=4,
+    )
+    dlq = str(tmp_path / "dlq")
+    replay_stream(
+        spark, str(src), str(tmp_path / "t"),
+        checkpoint=str(tmp_path / "ck"),
+        source_format="debezium-jsonl", dead_letter=dlq,
+    )
+    assert table.read().count() == 1
+    captured = {r["value"] for r in read_quarantine(spark, dlq).collect()}
+    assert captured == {bad1, bad2}
+    # re-run the finished checkpoint: no new epochs -> DLQ unchanged
+    replay_stream(
+        spark, str(src), str(tmp_path / "t"),
+        checkpoint=str(tmp_path / "ck"),
+        source_format="debezium-jsonl", dead_letter=dlq,
+    )
+    assert read_quarantine(spark, dlq).count() == 2
+
+
+def test_dead_letter_rejected_for_parquet_source(spark, tmp_path):
+    from embulk_filter_copy_spark.cdc.replayer import replay_stream
+
+    with pytest.raises(ValueError, match="envelope sources"):
+        replay_stream(
+            spark, str(tmp_path / "wal"), str(tmp_path / "t"),
+            checkpoint=str(tmp_path / "ck"), dead_letter=str(tmp_path / "d"),
+        )
