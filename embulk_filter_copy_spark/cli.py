@@ -172,6 +172,7 @@ def cmd_compact(args) -> None:
     res = table.compact(
         purge_tombstones=args.purge_tombstones,
         max_files_per_bucket=args.max_files_per_bucket,
+        min_delta_files=args.min_delta_files,
     )
     print(json.dumps(res))
 
@@ -216,6 +217,10 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--table", required=True)
     c.add_argument("--purge-tombstones", action="store_true")
     c.add_argument("--max-files-per-bucket", type=int, default=1)
+    c.add_argument("--min-delta-files", type=int, default=1,
+                   help="fold a bucket's MOR deltas only once this many have"
+                        " accumulated (defer write amplification; reads stay"
+                        " correct at any delta depth)")
 
     cq = sub.add_parser("compact-quarantine",
                         help="fold per-epoch quarantine dirs into one compacted dir")

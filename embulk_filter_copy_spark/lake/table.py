@@ -609,6 +609,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         purge_tombstones: bool = False,
         max_files_per_bucket: int = 1,
+        min_delta_files: int = 1,
     ) -> dict:
         """Rewrite fragmented buckets (small-file compaction) and optionally
         drop tombstones — safe once (a) every producer's watermark has
@@ -618,17 +619,33 @@ class LakeTable:
         would be derived from; ``read_changes`` detects a purging compaction
         in its gap and raises rather than silently dropping deletes). The
         Iceberg-maintenance analogue; at scale this runs as a background job
-        per bucket range."""
-        by_bucket: dict[int, int] = {}
-        delta_buckets = set()
+        per bucket range.
+
+        ``min_delta_files`` defers delta folding until a bucket has
+        accumulated that many delta files — at 10^5+ buckets an epoch
+        leaves ONE small delta in most touched buckets, and folding after
+        every epoch would rewrite each touched bucket's base for one
+        delta's worth of rows; the read-side merge-on-read view stays
+        correct at any delta depth, so deferral trades read amplification
+        for write amplification on the operator's own terms. (The default 1
+        keeps the historical fold-everything behavior; purge_tombstones
+        still forces every bucket — a purge must not leave shielded
+        tombstones behind in skipped buckets.)"""
+        # the two knobs are orthogonal: max_files_per_bucket measures BASE
+        # fragmentation, min_delta_files measures delta depth — counting a
+        # delta against the base threshold would re-trigger the fold the
+        # deferral knob just skipped
+        base_counts: dict[int, int] = {}
+        delta_counts: dict[int, int] = {}
         for f in self.files(buckets):
-            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
-            if f.get("kind") == "delta":
-                delta_buckets.add(f["bucket"])
+            kind = delta_counts if f.get("kind") == "delta" else base_counts
+            kind[f["bucket"]] = kind.get(f["bucket"], 0) + 1
         targets = sorted(
             b
-            for b, n in by_bucket.items()
-            if n > max_files_per_bucket or purge_tombstones or b in delta_buckets
+            for b in set(base_counts) | set(delta_counts)
+            if base_counts.get(b, 0) > max_files_per_bucket
+            or purge_tombstones
+            or delta_counts.get(b, 0) >= max(min_delta_files, 1)
         )
         if not targets:
             return {"buckets_compacted": [], "files_before": 0}

@@ -364,3 +364,40 @@ def test_compact_quarantine_folds_dirs_idempotently(spark, tmpdir_path, capsys):
     assert out["dirs_compacted"] >= 1
     assert read_quarantine(spark, q).count() == total2
     assert sum(n.startswith("qpart=") for n in os.listdir(q)) == 0
+
+
+def test_compact_min_delta_files_defers_fold(spark, tmpdir_path):
+    """min_delta_files defers delta folding until enough deltas accumulate;
+    base fragmentation and delta depth are independent thresholds; reads
+    stay correct at any delta depth."""
+    from embulk_filter_copy_spark.cdc.apply import apply_batch
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), REPO_FILES_SCHEMA,
+        key_columns=["repo", "path"], n_buckets=2,
+    )
+    ddl = ("lsn long, ts timestamp, op string, repo string, path string,"
+           " commit string, lang string, content string, schema_change string")
+
+    def ev(lsn, path):
+        return spark.createDataFrame(
+            [(lsn, None, "U", "o/r", path, f"c{lsn}", "py", f"v{lsn}", None)], ddl)
+
+    for e in range(2):  # 2 MOR epochs -> up to 2 deltas in the hot bucket
+        apply_batch(t, ev(e + 1, "hot"), run_id="r", epoch=e, merge_mode="mor")
+    n_deltas = sum(1 for f in t.files() if f.get("kind") == "delta")
+    assert n_deltas >= 2
+    rows_before = {(r["repo"], r["path"], r["content"])
+                   for r in t.read().collect()}
+
+    # threshold above the accumulated depth: nothing folds
+    res = t.compact(max_files_per_bucket=8, min_delta_files=n_deltas + 1)
+    assert res["buckets_compacted"] == []
+    assert sum(1 for f in t.files() if f.get("kind") == "delta") == n_deltas
+
+    # threshold reached: deltas fold, logical content unchanged
+    res = t.compact(max_files_per_bucket=8, min_delta_files=n_deltas)
+    assert res["buckets_compacted"] != []
+    assert sum(1 for f in t.files() if f.get("kind") == "delta") == 0
+    assert {(r["repo"], r["path"], r["content"])
+            for r in t.read().collect()} == rows_before
