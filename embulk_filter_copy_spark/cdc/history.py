@@ -94,6 +94,56 @@ def snapshot_as_of(
     ).drop("is_current")
 
 
+def temporal_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: Sequence[str],
+    at_col: str,
+    from_col: str = "valid_from_lsn",
+    to_col: str = "valid_to_lsn",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (temporal) join: attach to every fact row the history
+    version that was valid AT the fact's own position — the per-row
+    generalization of :func:`snapshot_as_of` (one as-of per fact instead of
+    one global slice), and the query the SCD2 table exists to answer
+    ("what did this dimension row look like when this event happened?").
+    A fact landing in a deleted gap (its at-position after a delete, before
+    the next upsert) matches nothing: ``how='left'`` keeps it with NULL
+    attributes, ``'inner'`` drops it.
+
+    Distributed shape: an EQUI-join on the key columns with the interval
+    predicate as a join residual — key-partitioned SMJ/shuffle-hash, never
+    a cartesian range join, because a key's intervals are disjoint by
+    construction (`scd2_history`'s lead() window), so each fact matches at
+    most one version. At 100 TB both sides hash-partition on the same key
+    (the history store already buckets by it), so the join co-locates.
+
+    Key and interval columns are disambiguated automatically; every other
+    overlapping column name keeps the FACT side's value and the history
+    side's copy is dropped (attach what you need to `history` before
+    calling, aliased uniquely).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    f, h = facts.alias("_f"), history.alias("_h")
+    cond = None
+    for k in key_cols:
+        c = f[k] == h[k]
+        cond = c if cond is None else cond & c
+    cond = cond & (h[from_col] <= f[at_col])
+    cond = cond & (h[to_col].isNull() | (f[at_col] < h[to_col]))
+    joined = f.join(h, cond, how)
+    keep = set(key_cols) | {at_col}
+    out = [f[c].alias(c) for c in facts.columns]
+    out += [
+        h[c].alias(c)
+        for c in history.columns
+        if c not in keep and c not in facts.columns
+    ]
+    return joined.select(*out)
+
+
 # ---------------------------------------------------------------------------
 # Incremental history maintenance on a LakeTable
 #

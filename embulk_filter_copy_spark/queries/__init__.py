@@ -48,6 +48,7 @@ _PRIORITY = [
     "sample_leakage_safe_split",
     "sample_domain_token_cap",
     "ann_ivf_recall",
+    "cdc_temporal_join",
 ]
 
 # Long-green rows (every one has a passing driver row in CORRECTNESS_r03)
@@ -73,6 +74,7 @@ _DEPRIORITIZED = [
     "window_topk_orders_per_segment",
     "join_range_click_purchase",
     "q5_local_supplier_volume",
+    "q3_shipping_priority",
 ]
 
 for n in _PRIORITY + _DEPRIORITIZED:

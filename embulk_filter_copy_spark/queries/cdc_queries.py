@@ -637,9 +637,71 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of a fact sample against the SCD2 history: each
+    fact (every 10th event) picks up the dimension version valid AT its own
+    LSN — facts inside deleted gaps keep NULL attributes. Equi-join on the
+    key with the interval residual; the oracle replays the interval logic
+    verbatim."""
+    from embulk_filter_copy_spark.cdc.history import scd2_history, temporal_join
+
+    hist = scd2_history(
+        _scd2_changes(spark, sf_dir), ["user_id"], lsn_col="lsn", op_col="op"
+    ).select(
+        "user_id",
+        F.col("event_type").alias("dim_event_type"),
+        F.col("value").alias("dim_value"),
+        "valid_from_lsn", "valid_to_lsn", "is_current",
+    )
+    facts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("user_id", F.col("event_id").alias("at_lsn"))
+    )
+    return temporal_join(
+        facts, hist.drop("is_current"), ["user_id"], at_col="at_lsn"
+    )
+
+
+def _temporal_join_sql() -> str:
+    from embulk_filter_copy_spark.queries.common import duck_phash
+
+    op = (
+        f"CASE WHEN ({duck_phash('lsn::VARCHAR', 'op:')} % 20) = 0 "
+        "THEN 'D' ELSE 'U' END"
+    )
+    return f"""
+WITH ch AS (
+  SELECT user_id, event_id AS lsn, event_type, round(value, 6) AS value,
+         {op} AS op
+  FROM events
+),
+h0 AS (
+  SELECT *, lead(lsn) OVER (PARTITION BY user_id ORDER BY lsn) AS valid_to_lsn
+  FROM ch
+),
+h AS (
+  SELECT user_id, event_type AS dim_event_type, value AS dim_value,
+         lsn AS valid_from_lsn, valid_to_lsn
+  FROM h0 WHERE op <> 'D'
+),
+f AS (
+  SELECT user_id, event_id AS at_lsn FROM events WHERE event_id % 10 = 0
+)
+SELECT f.user_id, f.at_lsn, h.dim_event_type, h.dim_value,
+       h.valid_from_lsn, h.valid_to_lsn
+FROM f LEFT JOIN h
+  ON h.user_id = f.user_id
+ AND h.valid_from_lsn <= f.at_lsn
+ AND (h.valid_to_lsn IS NULL OR f.at_lsn < h.valid_to_lsn)
+"""
+
+
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
     "cdc_patch_fold": (cdc_patch_fold, CDC_PATCH_FOLD_SQL),
+    "cdc_temporal_join": (cdc_temporal_join, _temporal_join_sql()),
     "cdc_scd2_history": (cdc_scd2_history, _scd2_sql()),
     "cdc_scd2_incremental": (cdc_scd2_incremental, _scd2_sql()),
     "cdc_replay_embeddings": (cdc_replay_embeddings, CDC_REPLAY_EMB_SQL),

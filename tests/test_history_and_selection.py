@@ -742,3 +742,47 @@ def test_ddl_epoch_resume_recovers_lineage(spark, tmp_path, monkeypatch):
     lsns = [p for p in rec["partitions"] if p["lsn_max"] is not None]
     assert min(p["lsn_min"] for p in lsns) == 1   # pre-crash sub-unit present
     assert max(p["lsn_max"] for p in lsns) == 5   # post-resume sub-unit present
+
+
+def test_temporal_join_point_in_time_semantics(spark):
+    from embulk_filter_copy_spark.cdc.history import scd2_history, temporal_join
+
+    ch = spark.createDataFrame(
+        [("k", 10, "U", "v1"), ("k", 20, "U", "v2"), ("k", 30, "D", None),
+         ("k", 40, "U", "v4")],
+        "k string, lsn long, op string, val string",
+    )
+    hist = scd2_history(ch, ["k"])
+    facts = spark.createDataFrame(
+        [("k", 5), ("k", 10), ("k", 25), ("k", 35), ("k", 99), ("zz", 10)],
+        "k string, at long",
+    )
+    out = {(r["k"], r["at"]): r["val"]
+           for r in temporal_join(facts, hist, ["k"], at_col="at").collect()}
+    assert out[("k", 5)] is None       # before the first version
+    assert out[("k", 10)] == "v1"      # valid_from inclusive
+    assert out[("k", 25)] == "v2"
+    assert out[("k", 35)] is None      # deleted gap [30, 40)
+    assert out[("k", 99)] == "v4"      # open current version
+    assert out[("zz", 10)] is None     # unknown key survives the left join
+    inner = temporal_join(facts, hist, ["k"], at_col="at", how="inner")
+    assert inner.count() == 3          # gap/unknown/early facts dropped
+
+
+def test_temporal_join_plan_is_equi_join(spark):
+    """The interval predicate must ride as a residual on a KEY equi-join —
+    a BroadcastNestedLoop/cartesian here would be quadratic at scale."""
+    import contextlib
+    import io
+
+    from embulk_filter_copy_spark.cdc.history import scd2_history, temporal_join
+
+    ch = spark.createDataFrame(
+        [("k", 10, "U", "v1")], "k string, lsn long, op string, val string")
+    facts = spark.createDataFrame([("k", 5)], "k string, at long")
+    df = temporal_join(facts, scd2_history(ch, ["k"]), ["k"], at_col="at")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "NestedLoop" not in p and "Cartesian" not in p
