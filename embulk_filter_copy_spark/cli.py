@@ -38,8 +38,9 @@ def cmd_bootstrap(args) -> None:
     table = LakeTable.create(
         spark, args.table, schema, key_columns=args.keys.split(","), n_buckets=args.buckets
     )
-    table.append(snap.withColumn("_lsn", F.lit(0)))
-    print(json.dumps({"table": args.table, "rows": table.row_count(), "buckets": args.buckets}))
+    table.append(snap.withColumn("_lsn", F.lit(args.snapshot_lsn)))
+    print(json.dumps({"table": args.table, "rows": table.row_count(),
+                      "buckets": args.buckets, "snapshot_lsn": args.snapshot_lsn}))
 
 
 def cmd_replay(args) -> None:
@@ -187,6 +188,12 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--snapshot", required=True)
     b.add_argument("--keys", default="repo,path")
     b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--snapshot-lsn", type=int, default=0,
+                   help="WAL position the snapshot was taken at: every row "
+                        "bootstraps with _lsn at this value, so replaying a "
+                        "PARTIAL WAL tail that overlaps the snapshot cannot "
+                        "regress keys to pre-snapshot states (with the "
+                        "default 0 the WAL must contain the full history)")
 
     r = sub.add_parser("replay", help="stream-replay a WAL directory into sinks")
     r.add_argument("--events", required=True)

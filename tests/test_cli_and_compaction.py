@@ -401,3 +401,45 @@ def test_compact_min_delta_files_defers_fold(spark, tmpdir_path):
     assert sum(1 for f in t.files() if f.get("kind") == "delta") == 0
     assert {(r["repo"], r["path"], r["content"])
             for r in t.read().collect()} == rows_before
+
+
+def test_bootstrap_snapshot_lsn_guards_partial_wal(spark, tmpdir_path, capsys):
+    """The snapshot+catch-up dance: a snapshot taken at WAL position L,
+    replayed against a partial tail that overlaps it, must not regress a
+    key to a pre-snapshot state. Stamping _lsn=L makes stragglers with
+    lsn <= L lose to the merge guard; the historical _lsn=0 stamp is only
+    correct when the WAL holds the full history."""
+    from embulk_filter_copy_spark.cdc.apply import apply_batch
+    from embulk_filter_copy_spark.cli import main as cli_main
+
+    ddl = ("lsn long, ts timestamp, op string, repo string, path string,"
+           " commit string, lang string, content string, schema_change string")
+    # snapshot at L=10 reflects lsn-7 state "v7"; the available WAL tail
+    # only reaches back to lsn 5 — replaying its lsn-5 event must lose
+    snap = spark.createDataFrame(
+        [("o/r", "p", "c7", "py", "v7")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    snap_path = os.path.join(tmpdir_path, "snap")
+    snap.write.parquet(snap_path)
+    tpath = os.path.join(tmpdir_path, "t")
+    cli_main(["--master", "local[4]", "bootstrap", "--table", tpath,
+              "--snapshot", snap_path, "--buckets", "4",
+              "--snapshot-lsn", "10"])
+    t = LakeTable.load(spark, tpath)
+    tail = spark.createDataFrame(
+        [(5, None, "U", "o/r", "p", "c5", "py", "v5-stale", None),
+         (12, None, "U", "o/r", "p", "c12", "py", "v12", None)], ddl)
+    apply_batch(t, tail, run_id="r", epoch=0)
+    row = t.read().collect()[0]
+    assert row["content"] == "v12"  # straggler lost, post-snapshot applied
+    meta = t.read(include_meta=True).collect()[0]
+    assert meta["_lsn"] == 12
+    # counter-example guard: an _lsn=0 bootstrap WOULD have taken the
+    # straggler if it were the only event (documenting why the stamp matters)
+    t0path = os.path.join(tmpdir_path, "t0")
+    cli_main(["--master", "local[4]", "bootstrap", "--table", t0path,
+              "--snapshot", snap_path, "--buckets", "4"])
+    t0 = LakeTable.load(spark, t0path)
+    apply_batch(t0, tail.filter("lsn = 5"), run_id="r", epoch=0)
+    assert t0.read().collect()[0]["content"] == "v5-stale"
