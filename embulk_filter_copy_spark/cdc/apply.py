@@ -89,15 +89,33 @@ def compact_quarantine(
     file per shuffle partition.
 
     Idempotent under crash-resume: the target name is a DIGEST of the
-    source dir set, written under a dot-prefixed temp dir (invisible to
-    readers) and atomically renamed; a re-run after a crash between the
-    rename and the source deletes finds the target already present, skips
-    the write, and only sweeps the leftover sources — rows are never
-    duplicated. ``read_quarantine`` reads pre-compaction, post-compaction
-    and mixed layouts identically (recursive file lookup).
+    TRANSITIVE original-source set — each ``qcompact=`` dir records the
+    ``qpart=`` names it covers in a ``_SRC`` manifest (underscore-prefixed,
+    so every Spark reader treats it as hidden), and folding a prior
+    compacted dir unions its manifest instead of hashing its own name. A
+    re-run after a crash between the atomic rename and the source deletes
+    therefore recomputes the SAME target name (the leftover sources are a
+    subset of what the new dir already covers), finds it present, skips
+    the write, and only sweeps the leftovers — rows are never duplicated.
+    (Hashing the literal dir listing — the naive digest — breaks exactly
+    there: the crashed run's own output joins the listing and yields a
+    fresh digest that re-folds everything, doubling every row.) Until the
+    re-run sweeps them, a reader sees the subsumed sources twice; the
+    compaction heals, it does not widen, that pre-existing crash window.
+    ``read_quarantine`` reads pre-compaction, post-compaction and mixed
+    layouts identically (recursive file lookup).
     """
     import hashlib
     import shutil
+
+    def covered(entry: str) -> set[str]:
+        # a compacted dir's identity is the qpart set it folded; legacy
+        # dirs without a manifest fall back to their own name
+        src_file = os.path.join(qpath, entry, "_SRC")
+        if os.path.exists(src_file):
+            with open(src_file) as fh:
+                return set(fh.read().split())
+        return {entry}
 
     qparts = sorted(
         e for e in os.listdir(qpath)
@@ -117,7 +135,10 @@ def compact_quarantine(
     entries = sorted(qparts + old)
     if not qparts:  # nothing new to fold — don't rewrite the compacted dir
         return {"dirs_compacted": 0, "rows": 0, "out": None}
-    digest = hashlib.sha1("\n".join(entries).encode()).hexdigest()[:12]
+    transitive: set[str] = set(qparts)
+    for e in old:
+        transitive |= covered(e)
+    digest = hashlib.sha1("\n".join(sorted(transitive)).encode()).hexdigest()[:12]
     out = os.path.join(qpath, f"qcompact={digest}")
     rows = 0
     if not os.path.exists(out):
@@ -130,11 +151,16 @@ def compact_quarantine(
         tmp = os.path.join(qpath, f".tmp-qcompact-{digest}")
         shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_SRC"), "w") as fh:
+            fh.write("\n".join(sorted(transitive)))
         os.rename(tmp, out)
         rows = spark.read.parquet(out).count()
+    swept = 0
     for e in entries:
-        shutil.rmtree(os.path.join(qpath, e), ignore_errors=True)
-    return {"dirs_compacted": len(entries), "rows": rows, "out": out}
+        if os.path.join(qpath, e) != out:
+            shutil.rmtree(os.path.join(qpath, e), ignore_errors=True)
+            swept += 1
+    return {"dirs_compacted": swept, "rows": rows, "out": out}
 
 
 def _sink_id(table: LakeTable) -> str:

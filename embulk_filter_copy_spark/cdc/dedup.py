@@ -145,13 +145,22 @@ def fold_patches(
     contributed to the image, so the merge-time LSN guard stays exact.
 
     Delivery-order contract: unlike plain LWW (correct under ARBITRARY
-    epoch assignment — the property suite proves it), patch folding is
-    exact only when epoch batches respect LSN order, i.e. the WAL/CDC
-    transport contract. A patch applied in epoch N advances the key's
-    ``_lsn``, so an out-of-order OLDER full image or delete arriving in a
-    later epoch is rejected by the merge guard instead of being resolved
-    beneath the patch. Duplicate re-deliveries are safe anywhere at-or-
-    after their original epoch (`tests/test_property_patches.py`).
+    epoch assignment and arbitrary duplicate placement — the property
+    suite proves it), patch folding is exact only when (a) epoch batches
+    respect LSN order (the WAL/CDC transport contract), and (b) exact
+    duplicates are re-delivered within their ORIGINAL epoch (the
+    crash-replay shape: a retried epoch re-reads the same batch). A
+    duplicate that leaks into a LATER epoch is resolved against that
+    batch's own images, not the table's: a stale patch can then outrank
+    the column's true state (e.g. full image I@8 lands in epoch 0; epoch 1
+    re-delivers P@1 alongside fresh P@12 — the fold emits P@1's column at
+    row-LSN 12 and the merge guard cannot see the staleness), and a stale
+    duplicate full image or delete mis-bases the fold the same way. The
+    streaming replayer upholds (b) for transport duplicates within the
+    watermark horizon via ``dropDuplicatesWithinWatermark`` BEFORE the
+    fold; duplicates older than the watermark are out of contract for
+    patch mode (plain LWW remains robust to them — choose it when the
+    transport cannot bound duplicate lag).
     """
     tb = tuple(c for c in tiebreak if c in events.columns)
     res = {lsn_col, op_col, *reserved}

@@ -310,29 +310,41 @@ def _recover_sub_lineage(
     table's snapshot history: find the snapshot that FIRST carries the
     (run, epoch, seq) manifest and diff its file list against the previous
     snapshot's — the added files ARE the sub-unit's writes (footer stats
-    included). Resume-only path; cost is a metadata walk, no data read."""
+    included). Resume-only path. Commit lists are CUMULATIVE (every write
+    appends to the prior snapshot's list), so carrier-ship is monotone in
+    the version and the first carrier binary-searches in O(log V) snapshot
+    reads — a linear walk from version 1 would re-parse ~every snapshot of
+    a long-lived store (10^5+ versions) once per resumed sub-unit."""
 
-    def has(snap: dict) -> bool:
+    def has(v: int) -> bool:
         return any(
             c.get("run_id") == run_id
             and c.get("epoch") == epoch
             and c.get("seq", 0) == seq
-            for c in snap["commits"]
+            for c in table.snapshot_at(v)["commits"]
         )
 
-    prev_paths: set[str] = set()
-    for v in range(1, table.current_version() + 1):
-        snap = table.snapshot_at(v)
-        if has(snap):
-            added = [f for f in snap["files"] if f["path"] not in prev_paths]
-            lineage = [
-                {"bucket": f["bucket"], "rows": f["rows"],
-                 "lsn_min": f.get("lsn_min"), "lsn_max": f.get("lsn_max")}
-                for f in added
-            ]
-            return lineage, sum(f["rows"] for f in added)
-        prev_paths = {f["path"] for f in snap["files"]}
-    return [], 0
+    cur = table.current_version()
+    if cur < 1 or not has(cur):
+        return [], 0
+    lo, hi = 1, cur  # invariant: has(hi) is True, has(lo - 1) is False
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if has(mid):
+            hi = mid
+        else:
+            lo = mid + 1
+    snap = table.snapshot_at(lo)
+    prev_paths: set[str] = (
+        {f["path"] for f in table.snapshot_at(lo - 1)["files"]} if lo > 1 else set()
+    )
+    added = [f for f in snap["files"] if f["path"] not in prev_paths]
+    lineage = [
+        {"bucket": f["bucket"], "rows": f["rows"],
+         "lsn_min": f.get("lsn_min"), "lsn_max": f.get("lsn_max")}
+        for f in added
+    ]
+    return lineage, sum(f["rows"] for f in added)
 
 
 def _file_lineage(append_ret: dict) -> list[dict]:

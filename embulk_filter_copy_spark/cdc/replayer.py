@@ -147,20 +147,28 @@ class FanoutApplier:
 
         from embulk_filter_copy_spark.cdc.dedup import dedup_events
 
+        dlq_cache = None
         if self.dead_letter is not None and "_bad" in batch_df.columns:
             # capture the RAW offending lines through the same idempotent
             # per-(run, epoch, sink) directory machinery as late-data
             # quarantine (crash-replay overwrites, never duplicates;
-            # `compact-quarantine` GCs the DLQ root the same way)
+            # `compact-quarantine` GCs the DLQ root the same way). Persist
+            # FIRST and probe for any bad row: a healthy stream (the steady
+            # state) must not pay a parquet write job — nor accrete one
+            # empty qpart dir — per epoch for an always-empty capture.
             from embulk_filter_copy_spark.cdc.apply import write_quarantine
 
-            write_quarantine(
-                batch_df.filter(F.col("_bad")).select(
-                    F.col("_raw").alias("value"),
-                    F.current_timestamp().alias("read_at"),
-                ),
-                self.dead_letter, self.run_id, int(epoch_id), "_dlq",
-            )
+            batch_df = batch_df.persist()
+            bad = batch_df.filter(F.col("_bad"))
+            if bad.limit(1).count() > 0:
+                write_quarantine(
+                    bad.select(
+                        F.col("_raw").alias("value"),
+                        F.current_timestamp().alias("read_at"),
+                    ),
+                    self.dead_letter, self.run_id, int(epoch_id), "_dlq",
+                )
+            dlq_cache = batch_df
             batch_df = batch_df.filter(~F.col("_bad")).drop("_bad", "_raw")
 
         dedup_mode = self.dedup
@@ -227,6 +235,8 @@ class FanoutApplier:
                     self.results.extend(f.result() for f in futs)
         finally:
             batch_df.unpersist()
+            if dlq_cache is not None:
+                dlq_cache.unpersist()
 
 
 def replay_stream(
@@ -323,30 +333,19 @@ def replay_stream(
         # Debezium JSON envelopes (newline-delimited file stream). With a
         # DLQ the _bad/_raw columns ride to foreachBatch where the applier
         # captures then drops them; without one, bad lines drop at parse.
-        from embulk_filter_copy_spark.sources.debezium import (
-            parse_debezium,
-            read_debezium_jsonl,
-        )
+        from embulk_filter_copy_spark.sources.debezium import read_debezium_jsonl
 
         opts = (
             {"maxFilesPerTrigger": max_files_per_trigger}
             if max_files_per_trigger is not None
             else None
         )
-        if dead_letter is not None:
-            line = T.StructType([T.StructField("value", T.StringType(), True)])
-            reader = spark.readStream.schema(line)
-            for k, v in (opts or {}).items():
-                reader = reader.option(k, v)
-            stream = parse_debezium(
-                reader.text(events_path), _row_image_columns(),
-                payload_wrapper=payload_wrapper, keep_raw=True,
-            )
-        else:
-            stream = read_debezium_jsonl(
-                spark, events_path, _row_image_columns(), streaming=True,
-                options=opts, payload_wrapper=payload_wrapper,
-            )
+        stream = read_debezium_jsonl(
+            spark, events_path, _row_image_columns(), streaming=True,
+            options=opts, payload_wrapper=payload_wrapper,
+            keep_raw=dead_letter is not None,
+            drop_malformed=dead_letter is None,
+        )
     elif source_format == "kafka":
         # Debezium over Kafka: ``events_path`` is the topic subscription and
         # ``kafka_options`` carries the connection config (bootstrap

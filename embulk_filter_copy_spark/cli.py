@@ -217,8 +217,9 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--quarantine", default=None, help="parquet path for late events")
     r.add_argument("--quarantine-delta", type=int, default=600)
     r.add_argument("--dead-letter", default=None,
-                   help="root for raw malformed envelope lines (debezium-jsonl"
-                        " format only); GC'd by compact-quarantine")
+                   help="root for raw malformed envelope lines (envelope "
+                        "sources: debezium-jsonl and kafka); GC'd by "
+                        "compact-quarantine")
 
     c = sub.add_parser("compact", help="compact small files / purge tombstones")
     c.add_argument("--table", required=True)

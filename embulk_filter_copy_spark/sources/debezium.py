@@ -150,6 +150,7 @@ def read_debezium_jsonl(
     payload_wrapper: bool = False,
     drop_malformed: bool = True,
     dead_letter_path: str | None = None,
+    keep_raw: bool = False,
     options: dict | None = None,
 ) -> DataFrame:
     """Read newline-delimited Debezium JSON files (batch or file-stream)
@@ -167,6 +168,10 @@ def read_debezium_jsonl(
     parsed columns are garbage by definition). Streaming reads raise: a
     side write inside a streaming plan needs its own sink/foreachBatch, and
     silently skipping the dead letter would be worse than refusing.
+
+    ``keep_raw`` keeps the ``_bad`` flag and ``_raw`` line in the output —
+    the streaming replayer uses this (with ``drop_malformed=False``) to
+    ride both to its foreachBatch, where the per-epoch DLQ capture lives.
     """
     if dead_letter_path is not None and streaming:
         raise ValueError(
@@ -180,7 +185,7 @@ def read_debezium_jsonl(
     raw = reader.text(path)
     ev = parse_debezium(
         raw, columns, value_col="value", payload_wrapper=payload_wrapper,
-        keep_raw=dead_letter_path is not None,
+        keep_raw=keep_raw or dead_letter_path is not None,
     )
     if dead_letter_path is not None:
         # one extra job over the same scan; Catalyst prunes it to
@@ -195,7 +200,8 @@ def read_debezium_jsonl(
             .write.mode("append")
             .parquet(dead_letter_path)
         )
-        ev = ev.drop("_raw")
+        if not keep_raw:
+            ev = ev.drop("_raw")
     if drop_malformed:
         ev = ev.filter(~F.col("_bad"))
-    return ev.drop("_bad")
+    return ev if keep_raw else ev.drop("_bad")

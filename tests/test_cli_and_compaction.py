@@ -443,3 +443,54 @@ def test_bootstrap_snapshot_lsn_guards_partial_wal(spark, tmpdir_path, capsys):
     t0 = LakeTable.load(spark, t0path)
     apply_batch(t0, tail.filter("lsn = 5"), run_id="r", epoch=0)
     assert t0.read().collect()[0]["content"] == "v5-stale"
+
+
+def test_compact_quarantine_true_crash_window_heals(spark, tmpdir_path):
+    """THE crash window: the compacted dir was renamed into place but the
+    crash hit before the sources were swept. The review-found failure mode:
+    a digest over the literal dir listing sees its own output, computes a
+    fresh digest, and re-folds everything — doubling every row. The
+    transitive-source-manifest digest recomputes the SAME target, skips
+    the fold, and only sweeps."""
+    import shutil as _sh
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from embulk_filter_copy_spark.cdc.apply import (
+        compact_quarantine,
+        read_quarantine,
+        write_quarantine,
+    )
+
+    q = os.path.join(tmpdir_path, "quar")
+    os.makedirs(q)
+    for epoch in range(4):
+        write_quarantine(spark.range(5).selectExpr("id"), q, "r", epoch, "s")
+    assert read_quarantine(spark, q).count() == 20
+
+    real_rmtree = _sh.rmtree
+
+    def crash_on_sweep(path, **kw):
+        if "qpart=" in str(path):
+            raise RuntimeError("injected crash during source sweep")
+        return real_rmtree(path, **kw)
+
+    with mock.patch("shutil.rmtree", side_effect=crash_on_sweep):
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            compact_quarantine(spark, q, keep_recent=0)
+    # the window: target present, all sources linger
+    assert sum(e.startswith("qcompact=") for e in os.listdir(q)) == 1
+    assert sum(e.startswith("qpart=") for e in os.listdir(q)) == 4
+
+    res = compact_quarantine(spark, q, keep_recent=0)
+    assert read_quarantine(spark, q).count() == 20  # healed, NOT 40
+    dirs = [e for e in os.listdir(q) if not e.startswith(".")]
+    assert dirs == [os.path.basename(res["out"])]
+
+    # two-round manifest transitivity: new epochs + the healed compact
+    for epoch in range(4, 6):
+        write_quarantine(spark.range(5).selectExpr("id"), q, "r", epoch, "s")
+    compact_quarantine(spark, q, keep_recent=0)
+    assert read_quarantine(spark, q).count() == 30
+    assert sum(e.startswith("qcompact=") for e in os.listdir(q)) == 1
