@@ -49,6 +49,7 @@ _PRIORITY = [
     "sample_domain_token_cap",
     "ann_ivf_recall",
     "cdc_temporal_join",
+    "pipeline_build_corpus",
 ]
 
 # Long-green rows (every one has a passing driver row in CORRECTNESS_r03)
@@ -75,6 +76,7 @@ _DEPRIORITIZED = [
     "join_range_click_purchase",
     "q5_local_supplier_volume",
     "q3_shipping_priority",
+    "dedup_components_star",
 ]
 
 for n in _PRIORITY + _DEPRIORITIZED:

@@ -554,6 +554,83 @@ SELECT vec_id, comp, vec_id = comp AS keep FROM comp
 """
 
 
+def pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build a training pipeline actually runs, as
+    one composed plan: near-dup keep-list (MinHash LSH → components →
+    canonical survivor) → deterministic 50% hash sample → per-source
+    token cap → training-shard assignment. Every stage is the already-
+    verified operator; this query verifies their COMPOSITION (column
+    contracts, hash-salt independence between stages) against one chained
+    CTE oracle. Each stage shuffles only ids/hashes/counts — the composed
+    plan inherits every per-stage 100 TB property."""
+    docs = t(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=8)
+    pairs = D.minhash_candidate_pairs(
+        sig, bands=4, rows_per_band=2, max_bucket_size=_MINHASH_CAP
+    )
+    comp = D.connected_components(pairs, docs.select("doc_id"))
+    survivors = comp.filter(F.col("doc_id") == F.col("comp")).select("doc_id")
+    kept = docs.join(survivors, "doc_id", "left_semi")
+    sampled = SA.sample_by_hash(kept, "doc_id", 0.5)
+    capped = SA.cap_tokens_per_group(
+        sampled, budget=15_000, group_col="source", key_col="doc_id"
+    )
+    out = SA.assign_shards(
+        capped.select("doc_id", "source", "n_tok"), "doc_id", 8
+    )
+    return out.select("doc_id", "source", "n_tok", "shard", "pos")
+
+
+def _build_corpus_sql() -> str:
+    ctes, union = _minhash_pairs_ctes()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({union}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS comp FROM reach GROUP BY node),
+kept AS (
+  SELECT d.* FROM documents d
+  JOIN comp ON comp.doc_id = d.doc_id AND comp.comp = d.doc_id
+),
+samp AS (
+  SELECT * FROM kept
+  WHERE ({duck_phash("doc_id", "sample:")} % 1000000) < 500000
+),
+tk AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+         {duck_phash("doc_id", "cap:")} AS h
+  FROM samp
+),
+capped AS (
+  SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok
+  FROM (
+    SELECT *, coalesce(sum(n_tok) OVER (
+        PARTITION BY source ORDER BY h, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+    FROM tk
+  ) WHERE before < 15000
+),
+sh AS (
+  SELECT doc_id, source, n_tok,
+         CAST({duck_phash("doc_id", "shard:")} % 8 AS INT) AS shard,
+         {duck_phash("doc_id", "shard:")} AS h2
+  FROM capped
+)
+SELECT doc_id, source, n_tok, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1 AS INT) AS pos
+FROM sh
+"""
+
+
 def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe 80/10/10 split: near-dup components (MinHash LSH graph)
     routed whole to one split — no near-copy of a training doc can land in
@@ -1283,6 +1360,7 @@ QUERIES = {
     "dedup_embedding_kmeans": (dedup_embedding_kmeans, DEDUP_EMB_KMEANS_SQL),
     "dedup_embedding_keep_list": (dedup_embedding_keep_list, DEDUP_EMB_KEEP_SQL),
     "sample_leakage_safe_split": (sample_leakage_safe_split, _leakage_split_sql()),
+    "pipeline_build_corpus": (pipeline_build_corpus, _build_corpus_sql()),
     "sample_domain_token_cap": (sample_domain_token_cap, DOMAIN_CAP_SQL),
     "ann_ivf_recall": (ann_ivf_recall, ANN_RECALL_SQL),
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
