@@ -135,14 +135,25 @@ def compact_quarantine(
     entries = sorted(qparts + old)
     if not qparts:  # nothing new to fold — don't rewrite the compacted dir
         return {"dirs_compacted": 0, "rows": 0, "out": None}
+    cov_map = {e: covered(e) for e in old}
     transitive: set[str] = set(qparts)
-    for e in old:
-        transitive |= covered(e)
+    for s in cov_map.values():
+        transitive |= s
+    # an entry whose NAME appears in another compacted dir's manifest is a
+    # crash leftover whose rows that dir already holds — it must be swept
+    # but NEVER re-read, or its rows double the moment NEW qparts arrive
+    # and shift the digest (the naive fix of hashing transitively but
+    # reading everything re-introduced exactly that)
+    covered_elsewhere: set[str] = set()
+    for e, s in cov_map.items():
+        covered_elsewhere |= s - {e}
     digest = hashlib.sha1("\n".join(sorted(transitive)).encode()).hexdigest()[:12]
     out = os.path.join(qpath, f"qcompact={digest}")
     rows = 0
     if not os.path.exists(out):
-        src = [os.path.join(qpath, e) for e in entries]
+        src = [
+            os.path.join(qpath, e) for e in entries if e not in covered_elsewhere
+        ]
         df = (
             spark.read.option("recursiveFileLookup", "true")
             .option("mergeSchema", "true")
@@ -160,6 +171,15 @@ def compact_quarantine(
         if os.path.join(qpath, e) != out:
             shutil.rmtree(os.path.join(qpath, e), ignore_errors=True)
             swept += 1
+    # sweep complete: every name in the manifest is gone from the root, so
+    # trim it to the dir's own identity — otherwise _SRC accumulates one
+    # line per qpart EVER folded (10^5-epoch roots would rewrite and
+    # re-hash a multi-MB manifest per run). A crash before the trim leaves
+    # the fat manifest, which is only ever over-inclusive, never wrong.
+    trim = os.path.join(qpath, ".tmp-src")
+    with open(trim, "w") as fh:
+        fh.write(os.path.basename(out))
+    os.replace(trim, os.path.join(out, "_SRC"))
     return {"dirs_compacted": swept, "rows": rows, "out": out}
 
 

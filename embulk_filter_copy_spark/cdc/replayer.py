@@ -172,6 +172,7 @@ class FanoutApplier:
             batch_df = batch_df.filter(~F.col("_bad")).drop("_bad", "_raw")
 
         dedup_mode = self.dedup
+        shared_dedup_ran = False
         if (
             len(self.leaves) > 1
             and self._sharable_dedup()
@@ -186,7 +187,13 @@ class FanoutApplier:
             )
             batch_df = dd.unionByName(batch_df.filter(~is_data))
             dedup_mode = "skip"
-        batch_df = batch_df.persist()
+            shared_dedup_ran = True
+        if dlq_cache is None or shared_dedup_ran:
+            # persist the frame the sinks share — UNLESS it is merely a
+            # cheap filter/drop over the already-persisted DLQ raw cache,
+            # where a second cache would hold ~2x the batch (raw line
+            # included) in executor storage for the whole epoch
+            batch_df = batch_df.persist()
 
         def apply_leaf(leaf: LeafSink) -> dict:
             table = LakeTable.load(self.spark, leaf.path)

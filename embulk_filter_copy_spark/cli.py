@@ -38,7 +38,15 @@ def cmd_bootstrap(args) -> None:
     table = LakeTable.create(
         spark, args.table, schema, key_columns=args.keys.split(","), n_buckets=args.buckets
     )
-    table.append(snap.withColumn("_lsn", F.lit(args.snapshot_lsn)))
+    # the bootstrap COMMIT must carry the stamped lsn bounds (filled from
+    # footer stats): read_changes prunes compaction-re-added rows against
+    # high_lsn(), and an uncommitted _lsn=L bootstrap would leave the
+    # watermark at 0 — every bucket rewrite would then re-emit the
+    # unchanged bootstrap rows as spurious change events
+    table.append(
+        snap.withColumn("_lsn", F.lit(args.snapshot_lsn)),
+        commit={"run_id": "__bootstrap__", "epoch": 0},
+    )
     print(json.dumps({"table": args.table, "rows": table.row_count(),
                       "buckets": args.buckets, "snapshot_lsn": args.snapshot_lsn}))
 
@@ -68,6 +76,7 @@ def cmd_replay(args) -> None:
         source_format=args.format,
         payload_wrapper=args.payload_wrapper,
         dead_letter=args.dead_letter,
+        kafka_options=dict(kv.split("=", 1) for kv in args.kafka_option) or None,
     )
     print(json.dumps({"epochs": len(results), "rows_applied": sum(r.get("rows_applied", 0) for r in results)}))
 
@@ -199,8 +208,12 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--events", required=True)
     r.add_argument("--payload-wrapper", action="store_true",
                    help="Debezium records use the Connect converter's {schema, payload} framing")
-    r.add_argument("--format", choices=["parquet", "debezium-jsonl"], default="parquet",
-                   help="WAL encoding: parquet event rows or Debezium JSON envelopes")
+    r.add_argument("--format", choices=["parquet", "debezium-jsonl", "kafka"],
+                   default="parquet",
+                   help="WAL encoding: parquet event rows, Debezium JSON "
+                        "envelope files, or a Kafka topic of Debezium "
+                        "envelopes (--events is the topic subscription; "
+                        "needs the spark-sql-kafka package on the classpath)")
     r.add_argument("--sink", action="append", default=[], help="sink table path (repeatable)")
     r.add_argument("--sink-spec", help="JSON file with a nested SinkSpec tree")
     r.add_argument("--checkpoint", required=True)
@@ -220,6 +233,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="root for raw malformed envelope lines (envelope "
                         "sources: debezium-jsonl and kafka); GC'd by "
                         "compact-quarantine")
+    r.add_argument("--kafka-option", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="Kafka reader option (repeatable), e.g. "
+                        "kafka.bootstrap.servers=host:9092, "
+                        "startingOffsets=earliest, maxOffsetsPerTrigger=…")
 
     c = sub.add_parser("compact", help="compact small files / purge tombstones")
     c.add_argument("--table", required=True)

@@ -293,7 +293,10 @@ class LakeTable:
 
     def high_lsn(self, version: int | None = None) -> int:
         """Highest change LSN covered by a snapshot's commit manifests
-        (bootstrap rows carry ``_lsn=0``; maintenance commits carry no LSN)."""
+        (a default bootstrap stamps ``_lsn=0``; ``--snapshot-lsn L`` stamps
+        L and its bootstrap commit records the bounds so the watermark
+        starts at the snapshot position; maintenance commits carry no
+        LSN)."""
         snap = self.snapshot() if version is None else self.snapshot_at(version)
         return max(
             (c["lsn_max"] for c in snap["commits"] if c.get("lsn_max") is not None),

@@ -652,16 +652,14 @@ def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_type").alias("dim_event_type"),
         F.col("value").alias("dim_value"),
-        "valid_from_lsn", "valid_to_lsn", "is_current",
+        "valid_from_lsn", "valid_to_lsn",
     )
     facts = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_id") % 10 == 0)
         .select("user_id", F.col("event_id").alias("at_lsn"))
     )
-    return temporal_join(
-        facts, hist.drop("is_current"), ["user_id"], at_col="at_lsn"
-    )
+    return temporal_join(facts, hist, ["user_id"], at_col="at_lsn")
 
 
 def _temporal_join_sql() -> str:

@@ -494,3 +494,84 @@ def test_compact_quarantine_true_crash_window_heals(spark, tmpdir_path):
     compact_quarantine(spark, q, keep_recent=0)
     assert read_quarantine(spark, q).count() == 30
     assert sum(e.startswith("qcompact=") for e in os.listdir(q)) == 1
+
+
+def test_bootstrap_snapshot_lsn_advances_change_feed_watermark(spark, tmpdir_path, capsys):
+    """The bootstrap commit must carry the stamped lsn bounds: after a
+    bucket rewrite (copy-on-write re-adds the unchanged bootstrap rows),
+    read_changes since the bootstrap version must emit ONLY the real
+    change, not the re-added bootstrap rows (review-found invariant)."""
+    from embulk_filter_copy_spark.cdc.apply import apply_batch
+    from embulk_filter_copy_spark.cli import main as cli_main
+
+    snap = spark.createDataFrame(
+        [("o/r", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(8)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    snap_path = os.path.join(tmpdir_path, "snap")
+    snap.write.parquet(snap_path)
+    tpath = os.path.join(tmpdir_path, "t")
+    cli_main(["--master", "local[4]", "bootstrap", "--table", tpath,
+              "--snapshot", snap_path, "--buckets", "2",
+              "--snapshot-lsn", "10"])
+    t = LakeTable.load(spark, tpath)
+    v0 = t.current_version()
+    assert t.high_lsn() == 10  # the commit records the stamp
+    ddl = ("lsn long, ts timestamp, op string, repo string, path string,"
+           " commit string, lang string, content string, schema_change string")
+    # one real change: its COW bucket rewrite re-adds that bucket's
+    # unchanged bootstrap rows to the new snapshot's file set
+    apply_batch(
+        t,
+        spark.createDataFrame(
+            [(12, None, "U", "o/r", "p0", "c12", "py", "v12", None)], ddl),
+        run_id="r", epoch=0,
+    )
+    feed = t.read_changes(v0).collect()
+    assert [(r["path"], r["lsn"], r["op"]) for r in feed] == [("p0", 12, "U")]
+
+
+def test_compact_quarantine_crash_then_new_epochs_no_double_fold(spark, tmpdir_path):
+    """The second-order crash window (review round 2): after a crash
+    mid-sweep, NEW qpart dirs arrive before the heal, shifting the digest —
+    the covered leftovers must be swept WITHOUT being re-read (their rows
+    already live in the crashed run's compacted dir), or every covered row
+    doubles permanently. Also pins the manifest trim: a completed
+    compaction's _SRC holds only its own name."""
+    import shutil as _sh
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from embulk_filter_copy_spark.cdc.apply import (
+        compact_quarantine,
+        read_quarantine,
+        write_quarantine,
+    )
+
+    q = os.path.join(tmpdir_path, "quar")
+    os.makedirs(q)
+    for epoch in range(4):
+        write_quarantine(spark.range(5).selectExpr("id"), q, "r", epoch, "s")
+
+    real_rmtree = _sh.rmtree
+
+    def crash_on_sweep(path, **kw):
+        if "qpart=" in str(path):
+            raise RuntimeError("injected crash during source sweep")
+        return real_rmtree(path, **kw)
+
+    with mock.patch("shutil.rmtree", side_effect=crash_on_sweep):
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            compact_quarantine(spark, q, keep_recent=0)
+    # new epochs land BEFORE the heal -> next digest differs from the
+    # crashed run's
+    for epoch in range(4, 6):
+        write_quarantine(spark.range(5).selectExpr("id"), q, "r", epoch, "s")
+
+    compact_quarantine(spark, q, keep_recent=0)
+    assert read_quarantine(spark, q).count() == 30  # NOT 50
+    dirs = [e for e in os.listdir(q) if not e.startswith(".")]
+    assert len(dirs) == 1 and dirs[0].startswith("qcompact=")
+    with open(os.path.join(q, dirs[0], "_SRC")) as fh:
+        assert fh.read().strip() == dirs[0]  # manifest trimmed post-sweep
