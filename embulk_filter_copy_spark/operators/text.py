@@ -153,6 +153,54 @@ def repetition_stats(
     )
 
 
+def quality_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_top_token_frac: float = 0.2,
+    min_ttr: float = 0.2,
+) -> DataFrame:
+    """Gopher/C4-style per-document FILTER GATE: each heuristic is a named
+    boolean column and ``keep`` is their conjunction — the explainable
+    verdict table a pipeline joins to drop junk documents, as opposed to
+    :func:`quality_score`'s blended score (a score ranks; a gate decides,
+    and a rejected doc should say WHICH rule killed it for corpus-level
+    rejection accounting).
+
+    Rules (all thresholds are parameters): token-count bounds, mean word
+    length bounds, top-unigram repetition cap (:func:`repetition_stats`'s
+    explode shape — counts shuffle, text doesn't), and a type-token-ratio
+    floor. Rule booleans are computed on exact integer arithmetic, so any
+    engine agrees bit-for-bit; the reported ratio columns are rounded for
+    display only."""
+    stats = token_stats(df.select(id_col, text_col), text_col)
+    rep = repetition_stats(df.select(id_col, text_col), id_col, text_col)
+    n_chars = F.length(F.col(text_col))
+    mean_wl = (n_chars - (F.col("n_tokens") - 1)) / F.col("n_tokens")
+    ttr = F.col("n_distinct_tokens") / F.col("n_tokens")
+    j = stats.join(rep, id_col)
+    rule_len = F.col("n_tokens").between(min_tokens, max_tokens)
+    rule_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    rule_rep = F.col("top_token_frac") <= max_top_token_frac
+    rule_ttr = ttr >= min_ttr
+    return j.select(
+        id_col,
+        F.col("n_tokens"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round("top_token_frac", 4).alias("top_token_frac"),
+        rule_len.alias("rule_len"),
+        rule_wl.alias("rule_word_len"),
+        rule_rep.alias("rule_repetition"),
+        rule_ttr.alias("rule_diversity"),
+        (rule_len & rule_wl & rule_rep & rule_ttr).alias("keep"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Winnowing-lite document fingerprint: min portable-hash over word
     3-gram shingles (rolling-hash family); equal fingerprints = candidate

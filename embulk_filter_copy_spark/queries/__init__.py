@@ -50,6 +50,7 @@ _PRIORITY = [
     "ann_ivf_recall",
     "cdc_temporal_join",
     "pipeline_build_corpus",
+    "text_quality_rules",
 ]
 
 # Long-green rows (every one has a passing driver row in CORRECTNESS_r03)
@@ -77,6 +78,7 @@ _DEPRIORITIZED = [
     "q5_local_supplier_volume",
     "q3_shipping_priority",
     "dedup_components_star",
+    "dedup_minhash_signatures",
 ]
 
 for n in _PRIORITY + _DEPRIORITIZED:

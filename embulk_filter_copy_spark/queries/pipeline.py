@@ -631,6 +631,55 @@ FROM sh
 """
 
 
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality gate: named Gopher/C4-style rule booleans +
+    the keep conjunction (thresholds tuned so the synthetic corpus splits
+    both ways on each rule)."""
+    return TX.quality_rules(
+        t(spark, sf_dir, "documents"),
+        min_tokens=30, max_tokens=400,
+        min_mean_word_len=3.0, max_mean_word_len=4.5,
+        max_top_token_frac=0.12, min_ttr=0.4,
+    )
+
+
+TEXT_RULES_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         length(text) AS n_chars
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+rep AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total_c FROM uni GROUP BY doc_id
+),
+j AS (
+  SELECT tk.doc_id, n_tokens,
+         (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS mwl,
+         n_distinct / CAST(n_tokens AS DOUBLE) AS ttr,
+         top_c / CAST(total_c AS DOUBLE) AS ttf
+  FROM tk JOIN rep ON rep.doc_id = tk.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       round(mwl, 4) AS mean_word_len,
+       round(ttr, 4) AS ttr,
+       round(ttf, 4) AS top_token_frac,
+       (n_tokens BETWEEN 30 AND 400) AS rule_len,
+       (mwl >= 3.0 AND mwl <= 4.5) AS rule_word_len,
+       (ttf <= 0.12) AS rule_repetition,
+       (ttr >= 0.4) AS rule_diversity,
+       ((n_tokens BETWEEN 30 AND 400) AND (mwl >= 3.0 AND mwl <= 4.5)
+        AND (ttf <= 0.12) AND (ttr >= 0.4)) AS keep
+FROM j
+"""
+
+
 def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe 80/10/10 split: near-dup components (MinHash LSH graph)
     routed whole to one split — no near-copy of a training doc can land in
@@ -1361,6 +1410,7 @@ QUERIES = {
     "dedup_embedding_keep_list": (dedup_embedding_keep_list, DEDUP_EMB_KEEP_SQL),
     "sample_leakage_safe_split": (sample_leakage_safe_split, _leakage_split_sql()),
     "pipeline_build_corpus": (pipeline_build_corpus, _build_corpus_sql()),
+    "text_quality_rules": (text_quality_rules, TEXT_RULES_SQL),
     "sample_domain_token_cap": (sample_domain_token_cap, DOMAIN_CAP_SQL),
     "ann_ivf_recall": (ann_ivf_recall, ANN_RECALL_SQL),
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),

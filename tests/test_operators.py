@@ -776,3 +776,26 @@ def test_ann_recall_report_full_probe_is_exact(spark):
     rep1 = S.ann_recall_report(emb, queries, n_cells=4, k=5, nprobe=1).collect()
     assert len(rep1) == 3
     assert all(0.0 <= r["recall"] <= 1.0 for r in rep1)
+
+
+def test_quality_rules_named_verdicts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            (3, "ok"),  # too short
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.quality_rules(
+        df, min_tokens=5, max_tokens=100, min_mean_word_len=2.0,
+        max_mean_word_len=10.0, max_top_token_frac=0.5, min_ttr=0.3,
+    ).collect()}
+    assert out[1]["keep"] and all(
+        out[1][c] for c in ("rule_len", "rule_word_len",
+                            "rule_repetition", "rule_diversity"))
+    # the degenerate doc fails EXACTLY the repetition + diversity rules
+    assert not out[2]["keep"]
+    assert out[2]["rule_len"] and out[2]["rule_word_len"]
+    assert not out[2]["rule_repetition"] and not out[2]["rule_diversity"]
+    assert not out[3]["keep"] and not out[3]["rule_len"]
