@@ -60,10 +60,19 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pairs_ctes() -> tuple[str, str]:
+def _minhash_pairs_ctes(doc_table: str = "documents") -> tuple[str, str]:
     """(CTE list, final UNION select) — split so callers can splice the
     pair graph into a larger flat WITH list (DuckDB resolves nested WITH
-    scopes poorly inside a recursive query)."""
+    scopes poorly inside a recursive query). ``doc_table`` lets a caller
+    build the pair graph over a pre-filtered doc CTE (the composed corpus
+    build gates on quality first)."""
+    tok_cte = _TOK_CTE if doc_table == "documents" else f"""
+tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {doc_table})
+  WHERE tok <> ''
+)
+"""
     mins = ",\n       ".join(
         f"min({duck_phash('tok', f'mh{i}:')}) AS mh{i}" for i in range(8)
     )
@@ -81,7 +90,7 @@ def _minhash_pairs_ctes() -> tuple[str, str]:
             f" ON x.{c0} = y.{c0} AND x.{c1} = y.{c1} AND x.doc_id < y.doc_id"
         )
     ctes = (
-        f"{_TOK_CTE},\nsig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),\n"
+        f"{tok_cte},\nsig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),\n"
         + ",\n".join(capped)
     )
     return ctes, "\nUNION\n".join(bands)
@@ -556,14 +565,21 @@ SELECT vec_id, comp, vec_id = comp AS keep FROM comp
 
 def pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END corpus build a training pipeline actually runs, as
-    one composed plan: near-dup keep-list (MinHash LSH → components →
-    canonical survivor) → deterministic 50% hash sample → per-source
-    token cap → training-shard assignment. Every stage is the already-
-    verified operator; this query verifies their COMPOSITION (column
-    contracts, hash-salt independence between stages) against one chained
-    CTE oracle. Each stage shuffles only ids/hashes/counts — the composed
-    plan inherits every per-stage 100 TB property."""
+    one composed plan: quality gate (Gopher rules) → near-dup keep-list
+    (MinHash LSH → components → canonical survivor) → deterministic 50%
+    hash sample → per-source token cap → training-shard assignment. Every
+    stage is the already-verified operator; this query verifies their
+    COMPOSITION (column contracts, hash-salt independence between stages)
+    against one chained CTE oracle. Each stage shuffles only
+    ids/hashes/counts — the composed plan inherits every per-stage 100 TB
+    property."""
     docs = t(spark, sf_dir, "documents")
+    passing = TX.quality_rules(
+        docs, min_tokens=30, max_tokens=400,
+        min_mean_word_len=3.0, max_mean_word_len=4.5,
+        max_top_token_frac=0.12, min_ttr=0.4,
+    ).filter(F.col("keep")).select("doc_id")
+    docs = docs.join(passing, "doc_id", "left_semi")
     sig = D.minhash_signatures(docs, k=8)
     pairs = D.minhash_candidate_pairs(
         sig, bands=4, rows_per_band=2, max_bucket_size=_MINHASH_CAP
@@ -582,9 +598,34 @@ def pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_corpus_sql() -> str:
-    ctes, union = _minhash_pairs_ctes()
+    ctes, union = _minhash_pairs_ctes(doc_table="gated")
     return f"""
-WITH RECURSIVE {ctes},
+WITH RECURSIVE qtk AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         length(text) AS n_chars
+  FROM documents
+),
+qrep AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total_c
+  FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY 1, 2
+  ) GROUP BY doc_id
+),
+gated AS (
+  SELECT d.* FROM documents d
+  JOIN qtk ON qtk.doc_id = d.doc_id
+  JOIN qrep ON qrep.doc_id = d.doc_id
+  WHERE qtk.n_tokens BETWEEN 30 AND 400
+    AND (qtk.n_chars - (qtk.n_tokens - 1)) / CAST(qtk.n_tokens AS DOUBLE)
+        BETWEEN 3.0 AND 4.5
+    AND qrep.top_c / CAST(qrep.total_c AS DOUBLE) <= 0.12
+    AND qtk.n_distinct / CAST(qtk.n_tokens AS DOUBLE) >= 0.4
+),
+{ctes},
 pairs AS ({union}),
 edges AS (
   SELECT a AS src, b AS dst FROM pairs
@@ -592,13 +633,13 @@ edges AS (
   SELECT b AS src, a AS dst FROM pairs
 ),
 reach(node, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM gated
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
 ),
 comp AS (SELECT node AS doc_id, min(lbl) AS comp FROM reach GROUP BY node),
 kept AS (
-  SELECT d.* FROM documents d
+  SELECT d.* FROM gated d
   JOIN comp ON comp.doc_id = d.doc_id AND comp.comp = d.doc_id
 ),
 samp AS (

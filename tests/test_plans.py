@@ -284,3 +284,14 @@ def test_ann_recall_plan_broadcasts_hit_join(spark):
     p = plan(ann_recall_report(emb, emb.filter(F.col("vec_id") < 3),
                                n_cells=4, k=5, nprobe=1))
     assert "BroadcastHashJoin" in p
+
+
+def test_build_corpus_plan_no_cartesian(spark):
+    """The composed corpus build (gate -> dedup keep -> sample -> cap ->
+    shard) must stay equi-join/semi-join shaped end to end — any stage
+    degrading to a nested-loop would be quadratic at corpus scale."""
+    from embulk_filter_copy_spark.queries.pipeline import pipeline_build_corpus
+
+    p = plan(pipeline_build_corpus(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
