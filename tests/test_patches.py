@@ -243,3 +243,34 @@ def test_streaming_patch_guards(spark, tmpdir_path):
                      transforms=(("with_column", "c", "upper(a)"),)),
             checkpoint=os.path.join(tmpdir_path, "ck3"),
             keys=("k",), dedup="patch")
+
+
+def test_patch_fold_across_mid_batch_ddl(spark, tmpdir_path):
+    """A column-add DDL mid-batch with dedup='patch': sub-units on each
+    side of the DDL fold independently; a patch on the NEW column applies
+    after the DDL, and a pre-DDL patch on an old column survives (the
+    post-DDL full-image semantics would have nulled nothing — patches
+    resolve per column against the evolving target)."""
+    import json
+    import os
+
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"),
+        [("k", "string"), ("a", "string")], key_columns=["k"], n_buckets=2,
+    )
+    t.append(
+        spark.createDataFrame([("k1", "a0")], "k string, a string")
+        .withColumn("_lsn", F.lit(1))
+    )
+    ddl = "k string, lsn long, op string, a string, b string, ts timestamp, schema_change string"
+    batch = spark.createDataFrame([
+        ("k1", 2, "P", "aP", None, None, None),                     # pre-DDL patch
+        (None, 3, "S", None, None, None,
+         json.dumps({"action": "add", "column": "b", "type": "string"})),
+        ("k1", 4, "P", None, "bNEW", None, None),                   # patches the NEW column
+    ], ddl)
+    apply_batch(t, batch, run_id="r", epoch=0, dedup="patch")
+    row = t.read().collect()[0]
+    assert (row["a"], row["b"]) == ("aP", "bNEW")
