@@ -96,6 +96,7 @@ HEADLINE_QUERIES = [
     "cdc_patch_fold",
     "sample_domain_token_cap",
     "ann_ivf_recall",
+    "pipeline_build_corpus",
 ]
 
 
