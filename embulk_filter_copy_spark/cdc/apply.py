@@ -255,6 +255,17 @@ def build_merge(
     cond = [t[k].eqNullSafe(s[k]) for k in keys]
     j = t.join(s, cond, "full_outer")
 
+    reserved = {lsn_col, op_col, "ts", "schema_change", "_img_lsn", "_del_lsn"}
+    src_cols = {
+        c for c in deduped.columns
+        if c not in reserved and not c.startswith("_pl_")
+    }
+
+    if "_img_lsn" in deduped.columns and "_del_lsn" in deduped.columns:
+        return _merge_with_patch_info(
+            table, deduped, j, t, s, keys, src_cols, lsn_col
+        )
+
     src_wins = s[lsn_col].isNotNull() & (
         t["_lsn"].isNull() | (s[lsn_col] >= t["_lsn"])
     )
@@ -263,8 +274,6 @@ def build_merge(
     # target: non-null patch columns override, nulls keep the target value —
     # and a patch can neither create a key nor resurrect a deleted one
     is_patch = s[op_col] == F.lit("P")
-    reserved = {lsn_col, op_col, "ts", "schema_change"}
-    src_cols = {c for c in deduped.columns if c not in reserved}
 
     out_cols = []
     for f in table.schema.fields:
@@ -290,6 +299,93 @@ def build_merge(
     out_cols.append(
         F.when(src_wins & is_patch, F.coalesce(t["_deleted"], F.lit(True)))
         .when(src_wins, s[op_col] == F.lit("D"))
+        .otherwise(F.coalesce(t["_deleted"], F.lit(False)))
+        .alias("_deleted")
+    )
+    return j.select(*out_cols)
+
+
+def _merge_with_patch_info(table, deduped, j, t, s, keys, src_cols, lsn_col):
+    """Patch-mode merge with PER-PIECE LSN guards (the fold ran with
+    ``emit_merge_info=True``). The folded row carries each piece's LSN —
+    latest full image ``_img_lsn``, latest delete ``_del_lsn``, latest patch
+    per column ``_pl_<col>`` — and each piece resolves against the target
+    row's ``_lsn`` independently. This closes the cross-epoch stale-duplicate
+    hole: a duplicate patch/full-image/delete re-delivered in ANY later epoch
+    compares ≤ the target's LSN and loses per piece, while fresh pieces in
+    the same batch still apply. Semantics per key, cut = target ``_lsn``:
+
+      * img newer than (delete, cut)  → the folded image is the row
+        (patches after the image already folded in);
+      * delete newer than (img, cut)  → tombstone at the delete's LSN;
+      * both stale (≤ cut)            → base is the TARGET; each patch with
+        ``_pl_<c> > cut`` applies to a live target per column, and ``_lsn``
+        advances only by APPLIED patch LSNs (a skipped patch on a tombstone
+        must not block a later revive);
+      * patch on an absent key        → tombstone (cannot create), at the
+        patch LSN so lower-LSN stragglers cannot materialize it either.
+    """
+    fl, dl, cut = s["_img_lsn"], s["_del_lsn"], t["_lsn"]
+
+    def _gt(a, b):  # a > b, null b = -inf, null a = never
+        return a.isNotNull() & (b.isNull() | (a > b))
+
+    live_new = _gt(fl, dl) & _gt(fl, cut)
+    tomb_new = dl.isNotNull() & ~_gt(fl, dl) & _gt(dl, cut)
+    target_live = cut.isNotNull() & ~F.coalesce(t["_deleted"], F.lit(False))
+
+    def _patch_applies(c: str):
+        pl_name = f"_pl_{c}"
+        if pl_name not in deduped.columns:
+            return F.lit(False)
+        pl = s[pl_name]
+        return pl.isNotNull() & F.when(live_new, pl > fl).otherwise(
+            ~tomb_new & target_live & (pl > cut)
+        )
+
+    applied_pls = [
+        F.when(_patch_applies(c), s[f"_pl_{c}"])
+        for c in src_cols
+        if f"_pl_{c}" in deduped.columns
+    ]
+    applied_any = None
+    for c in src_cols:
+        pa = _patch_applies(c)
+        applied_any = pa if applied_any is None else (applied_any | pa)
+    if applied_any is None:
+        applied_any = F.lit(False)
+
+    out_cols = []
+    for f in table.schema.fields:
+        if f.name in keys:
+            out_cols.append(F.coalesce(s[f.name], t[f.name]).alias(f.name))
+        elif f.name in src_cols:
+            out_cols.append(
+                F.when(live_new | tomb_new, s[f.name])
+                .when(_patch_applies(f.name), s[f.name])
+                .otherwise(t[f.name])
+                .alias(f.name)
+            )
+        else:
+            # schema-evolved column unknown to the envelope: a fresh full
+            # image NULLs it (full-row-image semantics); patches/tombstones
+            # leave it to the target
+            out_cols.append(
+                F.when(live_new, F.lit(None).cast(spark_type(f.type)))
+                .otherwise(t[f.name])
+                .alias(f.name)
+            )
+    lsn_out = F.when(live_new | tomb_new, s[lsn_col])
+    if applied_pls:
+        lsn_out = lsn_out.when(applied_any, F.greatest(*applied_pls))
+    out_cols.append(
+        lsn_out.when(cut.isNull(), s[lsn_col]).otherwise(cut).alias("_lsn")
+    )
+    out_cols.append(
+        F.when(live_new, F.lit(False))
+        .when(tomb_new, F.lit(True))
+        .when(applied_any, F.lit(False))
+        .when(cut.isNull(), F.lit(True))
         .otherwise(F.coalesce(t["_deleted"], F.lit(False)))
         .alias("_deleted")
     )

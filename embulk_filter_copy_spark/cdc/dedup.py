@@ -107,7 +107,13 @@ def dedup_events(
     if mode == "plain":
         return lww_dedup(events, keys=keys, lsn_col=lsn_col)
     if mode == "patch":
-        return fold_patches(events, keys=keys, lsn_col=lsn_col)
+        # emit_merge_info: the applier's merge resolves each piece (latest
+        # full image, latest delete, latest patch per column) against the
+        # TARGET row's LSN, so stale duplicates re-delivered in any later
+        # epoch lose per piece instead of mis-basing the fold
+        return fold_patches(
+            events, keys=keys, lsn_col=lsn_col, emit_merge_info=True
+        )
     raise ValueError(f"unknown dedup mode {mode!r}")
 
 
@@ -119,6 +125,7 @@ def fold_patches(
     patch_op: str = "P",
     tiebreak: tuple[str, ...] = ("commit",),
     reserved: tuple[str, ...] = ("ts", "schema_change"),
+    emit_merge_info: bool = False,
 ) -> DataFrame:
     """Per-key fold of PARTIAL-column updates (op = ``patch_op``) into the
     LWW image — the dedup stage for CDC transports that emit patch events
@@ -146,21 +153,19 @@ def fold_patches(
 
     Delivery-order contract: unlike plain LWW (correct under ARBITRARY
     epoch assignment and arbitrary duplicate placement — the property
-    suite proves it), patch folding is exact only when (a) epoch batches
-    respect LSN order (the WAL/CDC transport contract), and (b) exact
-    duplicates are re-delivered within their ORIGINAL epoch (the
-    crash-replay shape: a retried epoch re-reads the same batch). A
-    duplicate that leaks into a LATER epoch is resolved against that
-    batch's own images, not the table's: a stale patch can then outrank
-    the column's true state (e.g. full image I@8 lands in epoch 0; epoch 1
-    re-delivers P@1 alongside fresh P@12 — the fold emits P@1's column at
-    row-LSN 12 and the merge guard cannot see the staleness), and a stale
-    duplicate full image or delete mis-bases the fold the same way. The
-    streaming replayer upholds (b) for transport duplicates within the
-    watermark horizon via ``dropDuplicatesWithinWatermark`` BEFORE the
-    fold; duplicates older than the watermark are out of contract for
-    patch mode (plain LWW remains robust to them — choose it when the
-    transport cannot bound duplicate lag).
+    suite proves it), patch folding is exact only when epoch batches
+    respect LSN order for FIRST deliveries (the WAL/CDC transport
+    contract; a patch's validity is inherently relative to the base image
+    order). Exact duplicates may be re-delivered into ANY later epoch:
+    with ``emit_merge_info=True`` the fold keeps each piece's LSN — the
+    latest full image (``_img_lsn``), the latest delete (``_del_lsn``),
+    and the latest patch per column (``_pl_<col>``) — and
+    ``apply.build_merge`` resolves each piece against the TARGET row's
+    ``_lsn``, so a stale duplicate (patch, full image, or delete) loses
+    per piece instead of mis-basing the fold. Without merge info
+    (standalone fold, this function's default), in-batch resolution
+    assumes everything in the batch is new — exact for first deliveries
+    and same-epoch duplicates (the crash-replay shape).
     """
     tb = tuple(c for c in tiebreak if c in events.columns)
     res = {lsn_col, op_col, *reserved}
@@ -169,10 +174,16 @@ def fold_patches(
     is_p = F.col(op_col) == F.lit(patch_op)
     order = _order_struct(lsn_col, tb)
 
+    is_d = F.col(op_col) == F.lit("D")
     aggs = [
         F.max_by(F.struct(*payload_all), F.when(~is_p, order)).alias("_full"),
         F.max_by(F.struct(*payload_all), order).alias("_latest"),
     ]
+    if emit_merge_info:
+        aggs.append(
+            F.max(F.when(~is_p & ~is_d, F.col(lsn_col))).alias("_img_lsn")
+        )
+        aggs.append(F.max(F.when(is_d, F.col(lsn_col))).alias("_del_lsn"))
     for c in patchable:
         sel = is_p & F.col(c).isNotNull()
         aggs.append(F.max_by(F.col(c), F.when(sel, order)).alias(f"_p_{c}"))
@@ -215,8 +226,19 @@ def fold_patches(
                 .alias(op_col)
             )
         elif c in patchable:
+            if emit_merge_info:
+                # delete base: carry the post-delete patch values anyway —
+                # at merge time the delete may turn out STALE (a duplicate
+                # of an already-applied event), in which case these patches
+                # must still resolve against the live target; when the
+                # delete is fresh they sit behind _deleted=true, inert
+                del_case = F.when(
+                    F.col(f"_pl_{c}") > full_lsn, F.col(f"_p_{c}")
+                )
+            else:
+                del_case = F.col(f"_full.{c}")
             out.append(
-                F.when(is_del, F.col(f"_full.{c}"))
+                F.when(is_del, del_case)
                 .when(~has_full, F.col(f"_p_{c}"))
                 .when(applied(c), F.col(f"_p_{c}"))
                 .otherwise(F.col(f"_full.{c}"))
@@ -224,4 +246,8 @@ def fold_patches(
             )
         else:  # transport metadata (ts, schema_change): the latest event's
             out.append(F.col(f"_latest.{c}").alias(c))
+    if emit_merge_info:
+        out.append(F.col("_img_lsn"))
+        out.append(F.col("_del_lsn"))
+        out.extend(F.col(f"_pl_{c}") for c in patchable)
     return g.select(*out)

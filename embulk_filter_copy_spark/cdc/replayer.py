@@ -185,7 +185,11 @@ class FanoutApplier:
             dd = dedup_events(
                 batch_df.filter(is_data), self.dedup, keys=self.keys, n_salts=self.n_salts
             )
-            batch_df = dd.unionByName(batch_df.filter(~is_data))
+            # allowMissingColumns: patch-mode dedup adds merge-info columns
+            # (_img_lsn/_del_lsn/_pl_*) the raw S-rows don't carry
+            batch_df = dd.unionByName(
+                batch_df.filter(~is_data), allowMissingColumns=True
+            )
             dedup_mode = "skip"
             shared_dedup_ran = True
         if dlq_cache is None or shared_dedup_ran:

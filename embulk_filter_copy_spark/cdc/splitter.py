@@ -105,7 +105,13 @@ def flatten_specs(
 
 
 def _protected(df: DataFrame, keys: tuple[str, ...]) -> set[str]:
-    return {c for c in ENVELOPE_COLS if c in df.columns} | set(keys)
+    # _img_lsn/_del_lsn/_pl_* are patch-fold merge info (per-piece LSNs the
+    # merge guards stale duplicates with) — machinery, not payload
+    info = {
+        c for c in df.columns
+        if c in ("_img_lsn", "_del_lsn") or c.startswith("_pl_")
+    }
+    return {c for c in ENVELOPE_COLS if c in df.columns} | set(keys) | info
 
 
 def apply_transforms(
@@ -115,10 +121,18 @@ def apply_transforms(
         kind = t[0]
         prot = _protected(df, keys)
         if kind == "select":
-            keep = [c for c in df.columns if c in set(t[1]) | prot]
+            want = set(t[1]) | prot
+            # a projected-out payload column takes its _pl_ guard with it
+            keep = [
+                c for c in df.columns
+                if c in want
+                and not (c.startswith("_pl_") and c[len("_pl_"):] not in want)
+            ]
             df = df.select(*keep)
         elif kind == "drop":
-            df = df.drop(*[c for c in t[1] if c not in prot])
+            drops = [c for c in t[1] if c not in prot]
+            drops += [f"_pl_{c}" for c in drops if f"_pl_{c}" in df.columns]
+            df = df.drop(*drops)
         elif kind == "filter":
             df = df.filter(t[1])
         elif kind == "with_column":
@@ -132,6 +146,8 @@ def apply_transforms(
             if t[1] in prot:
                 raise ValueError(f"cannot rename protected column {t[1]!r}")
             df = df.withColumnRenamed(t[1], t[2])
+            if f"_pl_{t[1]}" in df.columns:  # patch guard follows its column
+                df = df.withColumnRenamed(f"_pl_{t[1]}", f"_pl_{t[2]}")
         elif kind == "pandas":
             fn = TRANSFORM_REGISTRY[t[1]]
             df = fn(df)

@@ -91,6 +91,18 @@ def test_merge_plan_is_equi_join_no_nested_loop(spark, tmpdir_path):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
 
+    # the patch-info merge (per-piece LSN guards) must keep the same shape:
+    # the guards are SELECT-level CASE expressions over the joined row, not
+    # extra joins or shuffles
+    from embulk_filter_copy_spark.cdc.dedup import fold_patches
+
+    pm = plan(build_merge(
+        t, fold_patches(ev, emit_merge_info=True), buckets=[0, 1, 2, 3]
+    ))
+    assert "FullOuter" in pm
+    assert "SortMergeJoin" in pm or "ShuffledHashJoin" in pm
+    assert "BroadcastNestedLoopJoin" not in pm and "CartesianProduct" not in pm
+
 
 def test_events_scan_prunes_partitions_by_lsn(spark):
     ev = gen_change_events(spark, 100, 500, seed=1)

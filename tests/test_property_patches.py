@@ -1,20 +1,19 @@
 """Property-based patch-replay correctness (hypothesis): ANY event log
 mixing full images, deletes, and partial-column patches — with duplicate
-re-deliveries into their original epochs — replayed through
-``apply_batch(dedup='patch')`` over LSN-ordered epoch splits must land on
-exactly the state of a strict single-threaded per-event replay.
+re-deliveries into their original epoch OR any LATER epoch — replayed
+through ``apply_batch(dedup='patch')`` over LSN-ordered epoch splits must
+land on exactly the state of a strict single-threaded per-event replay.
 
 Unlike plain LWW (order-insensitive: the property suite feeds it ARBITRARY
 epoch assignment), patch folding is exact only when epoch batches respect
-LSN order — the WAL/CDC transport contract — AND exact duplicates are
-re-delivered within their ORIGINAL epoch (the crash-replay shape). The
-generator enforces both: the log splits at sorted LSN boundaries and
-duplicates land in their own epoch. A duplicate leaking into a LATER epoch
-is out of contract — the fold resolves it against that batch's own images
-and a stale patch can outrank the column's true state (the boundary is
-pinned by `test_cross_epoch_duplicate_is_out_of_contract` below, and the
-streaming replayer's watermark dedup absorbs such duplicates before the
-fold within the watermark horizon).
+LSN order for FIRST deliveries — the WAL/CDC transport contract (a patch's
+validity is inherently relative to base-image order, so an out-of-order
+first delivery is unresolvable without per-column LSNs in the TABLE).
+Duplicates, by contrast, may leak anywhere later: the fold emits per-piece
+LSNs (``_img_lsn``/``_del_lsn``/``_pl_<col>``) and the merge resolves each
+piece against the target's ``_lsn``, so a stale duplicate patch, full
+image, or delete loses per piece (``test_cross_epoch_duplicate_resolved``
+pins the once-out-of-contract shape).
 """
 
 import shutil
@@ -86,13 +85,14 @@ def patch_logs(draw):
     bounds = [0, *cuts, n]
     epochs = [events[bounds[i]:bounds[i + 1]] for i in range(n_epochs)]
     # duplicate re-deliveries: exact copies into their ORIGINAL epoch (the
-    # crash-replay shape — the delivery contract patch folding requires;
-    # cross-epoch duplicates are out of contract, see module docstring)
+    # crash-replay shape) or ANY LATER epoch (out-of-horizon transport
+    # duplicates) — the per-piece merge guards must absorb both
     for i in draw(st.lists(st.integers(0, n - 1), max_size=4)):
         src_epoch = next(
             e for e in range(n_epochs) if bounds[e] <= i < bounds[e + 1]
         )
-        epochs[src_epoch] = [*epochs[src_epoch], events[i]]
+        dup_epoch = draw(st.integers(src_epoch, n_epochs - 1))
+        epochs[dup_epoch] = [*epochs[dup_epoch], events[i]]
     return events, epochs
 
 
@@ -132,14 +132,13 @@ def test_patch_replay_matches_sequential_oracle(spark, log):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def test_cross_epoch_duplicate_is_out_of_contract(spark):
-    """Pins the contract boundary (the review counterexample): a patch
-    duplicate leaking into a LATER epoch after its effect was superseded
-    resurrects the stale column — which is exactly why the contract
-    requires same-epoch re-delivery and why the streaming replayer runs
-    dropDuplicatesWithinWatermark BEFORE the fold. If this test ever
-    starts producing 'a8', the fold gained per-column merge guards and the
-    contract (plus this test) should be relaxed."""
+def test_cross_epoch_duplicate_resolved(spark):
+    """The round-4 review counterexample, now resolved: a patch duplicate
+    leaking into a LATER epoch after its effect was superseded used to
+    resurrect the stale column (the fold resolved it against the batch's
+    own images). With per-piece merge guards (_pl_<col> vs the target's
+    _lsn) the stale patch loses per column while the fresh patch in the
+    same batch still applies."""
     import shutil
     import tempfile
 
@@ -165,7 +164,8 @@ def test_cross_epoch_duplicate_is_out_of_contract(spark):
         )
         row = table.read().collect()[0]
         assert row["b"] == "pb12"
-        # stale column resurrected — documented out-of-contract behavior
-        assert row["a"] == "pa1"
+        # the stale duplicate P@1 loses to the per-column LSN guard
+        # (_pl_a=1 ≤ target _lsn=8); the column keeps its true state
+        assert row["a"] == "a8"
     finally:
         shutil.rmtree(root, ignore_errors=True)
