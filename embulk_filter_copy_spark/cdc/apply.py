@@ -75,7 +75,7 @@ def read_quarantine(spark, qpath: str) -> DataFrame:
 
 
 def compact_quarantine(
-    spark, qpath: str, keep_recent: int = 2
+    spark, qpath: str, keep_recent: int = 2, protect_age: float | None = None
 ) -> dict:
     """Fold accumulated per-(run, epoch, sink) quarantine directories into
     one compacted directory — the small-file GC for the quarantine root.
@@ -84,9 +84,19 @@ def compact_quarantine(
     isolation is what makes the write idempotent and multi-process-safe),
     so at 10^5 epochs the root is a directory bomb: one dir + one tiny
     file per (run, epoch, sink). This folds all but the ``keep_recent``
-    most-recently-modified ``qpart=`` dirs (those may still be replayed
-    into by an in-flight epoch) into a single ``qcompact=`` dir with one
-    file per shuffle partition.
+    most-recent (run, epoch) GROUPS *per run* (those may still be replayed
+    into by an in-flight or crash-resumed epoch) into a single
+    ``qcompact=`` dir with one file per shuffle partition.
+
+    The keep-recent unit is the (run_id, epoch) group, not the directory:
+    one epoch fanning out to N sinks writes N qpart dirs with near-equal
+    mtimes, and folding ANY of them while the epoch is in flight would let
+    the resume re-create a dir the compaction already swallowed (its rows
+    would then be read twice forever once the ``_SRC`` trim forgot it).
+    Grouping per run is the durable in-flight signal available without the
+    sink tables: a replay cannot advance past an uncommitted epoch, so only
+    a run's most recent epoch(s) can ever be re-written. Dirs whose name
+    predates the group format fall back to per-dir recency.
 
     Idempotent under crash-resume: the target name is a DIGEST of the
     TRANSITIVE original-source set — each ``qcompact=`` dir records the
@@ -117,15 +127,43 @@ def compact_quarantine(
                 return set(fh.read().split())
         return {entry}
 
+    import re
+
+    def group(entry: str):
+        # (run_id, epoch) of the dir, or the dir itself for legacy names
+        m = re.match(r"qpart=(.+)-e(-?\d+)-[^-]+$", entry)
+        return (m.group(1), int(m.group(2))) if m else (entry, None)
+
     qparts = sorted(
         e for e in os.listdir(qpath)
         if e.startswith("qpart=") and os.path.isdir(os.path.join(qpath, e))
     )
     if keep_recent > 0:
-        by_mtime = sorted(
-            qparts, key=lambda e: os.path.getmtime(os.path.join(qpath, e))
-        )
-        qparts = by_mtime[: max(len(by_mtime) - keep_recent, 0)]
+        groups: dict = {}
+        for e in qparts:
+            groups.setdefault(group(e), []).append(e)
+        g_mtime = {
+            g: max(os.path.getmtime(os.path.join(qpath, e)) for e in es)
+            for g, es in groups.items()
+        }
+        protected: set = set()
+        by_run: dict = {}
+        for g in groups:
+            by_run.setdefault(g[0], []).append(g)
+        for gs in by_run.values():
+            gs.sort(key=lambda g: g_mtime[g])
+            protected.update(gs[-keep_recent:])
+        if protect_age is not None:
+            # operator knob for long-finished runs: a protected group older
+            # than this (seconds since last write) is folded anyway —
+            # without it, every finished run parks keep_recent dirs in the
+            # root forever. Choose it >> the longest plausible crash-resume
+            # lag: a resume later than that re-creates a folded qpart dir,
+            # whose rows the next fold would double permanently (hence the
+            # conservative default of None = protect indefinitely).
+            now = time.time()
+            protected = {g for g in protected if now - g_mtime[g] < protect_age}
+        qparts = [e for e in qparts if group(e) not in protected]
     # prior compacted dirs fold in too, so repeated compactions keep the
     # root at ONE compacted dir instead of one per compaction run
     old = [
@@ -171,14 +209,19 @@ def compact_quarantine(
         if os.path.join(qpath, e) != out:
             shutil.rmtree(os.path.join(qpath, e), ignore_errors=True)
             swept += 1
-    # sweep complete: every name in the manifest is gone from the root, so
-    # trim it to the dir's own identity — otherwise _SRC accumulates one
-    # line per qpart EVER folded (10^5-epoch roots would rewrite and
-    # re-hash a multi-MB manifest per run). A crash before the trim leaves
-    # the fat manifest, which is only ever over-inclusive, never wrong.
+    # sweep complete: trim the manifest to the dir's own identity plus any
+    # covered name STILL PRESENT in the root (a failed sweep, or an
+    # in-flight epoch re-creating its dir between fold and trim) —
+    # retaining those keeps their re-created rows excluded from future
+    # folds (covered_elsewhere) instead of double-counting them. Names
+    # confirmed absent drop, so _SRC doesn't accumulate one line per qpart
+    # EVER folded (10^5-epoch roots would rewrite and re-hash a multi-MB
+    # manifest per run). A crash before the trim leaves the fat manifest,
+    # which is only ever over-inclusive, never wrong.
+    still_present = transitive & set(os.listdir(qpath))
     trim = os.path.join(qpath, ".tmp-src")
     with open(trim, "w") as fh:
-        fh.write(os.path.basename(out))
+        fh.write("\n".join(sorted({os.path.basename(out)} | still_present)))
     os.replace(trim, os.path.join(out, "_SRC"))
     return {"dirs_compacted": swept, "rows": rows, "out": out}
 

@@ -356,6 +356,7 @@ def replay_stream(
             options=opts, payload_wrapper=payload_wrapper,
             keep_raw=dead_letter is not None,
             drop_malformed=dead_letter is None,
+            key_columns=tuple(keys),
         )
     elif source_format == "kafka":
         # Debezium over Kafka: ``events_path`` is the topic subscription and
@@ -376,6 +377,7 @@ def replay_stream(
         ev = parse_debezium(
             raw, _row_image_columns(), payload_wrapper=payload_wrapper,
             keep_raw=dead_letter is not None,
+            key_columns=tuple(keys),
         )
         if dead_letter is None:
             ev = ev.filter(~F.col("_bad")).drop("_bad")

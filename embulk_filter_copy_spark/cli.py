@@ -155,7 +155,10 @@ def cmd_compact_quarantine(args) -> None:
     from embulk_filter_copy_spark.cdc.apply import compact_quarantine
 
     spark = _spark(args)
-    print(json.dumps(compact_quarantine(spark, args.path, keep_recent=args.keep_recent)))
+    print(json.dumps(compact_quarantine(
+        spark, args.path, keep_recent=args.keep_recent,
+        protect_age=args.protect_age,
+    )))
 
 
 def cmd_rescale(args) -> None:
@@ -252,7 +255,13 @@ def main(argv: list[str] | None = None) -> None:
                         help="fold per-epoch quarantine dirs into one compacted dir")
     cq.add_argument("--path", required=True, help="quarantine root")
     cq.add_argument("--keep-recent", type=int, default=2,
-                    help="leave the N most-recent qpart dirs uncompacted")
+                    help="leave each run's N most-recent (run, epoch) groups"
+                         " uncompacted (an in-flight epoch may still rewrite"
+                         " its dirs)")
+    cq.add_argument("--protect-age", type=float, default=None,
+                    help="fold protected groups anyway once idle this many "
+                         "seconds (default: protect indefinitely; set it >> "
+                         "the longest plausible crash-resume lag)")
 
     rs = sub.add_parser("rescale", help="rewrite the table under a new bucket count")
     rs.set_defaults(func=cmd_rescale)

@@ -66,19 +66,34 @@ def envelope_struct(columns: list[tuple[str, object]]) -> T.StructType:
                 ),
                 True,
             ),
+            T.StructField(
+                # MongoDB change-stream / Debezium Mongo document key: the
+                # key fields as a JSON document. updatedFields carries only
+                # CHANGED fields, so a patch that does not touch a key field
+                # has no key there — the key must come from documentKey (or
+                # the message key, which producers can copy into this field)
+                "documentKey",
+                T.StringType(),
+                True,
+            ),
             T.StructField("schema_change", T.StringType(), True),
         ]
     )
 
 
-def _event_cols(env: Column, columns: list[tuple[str, str]]) -> list[Column]:
+def _event_cols(
+    env: Column,
+    columns: list[tuple[str, str]],
+    key_columns: tuple[str, ...] | None = None,
+) -> list[Column]:
     # an update WITHOUT a full after-image but WITH updatedFields is a
     # partial-image patch (Debezium MongoDB oplog shape): op='P', image =
     # the patch document parsed over the row type — absent fields stay
     # NULL, which is exactly the "unchanged" contract
-    # `cdc.dedup.fold_patches` resolves (keys must ride in the patch doc,
-    # which Mongo guarantees via the _id filter; relational envelopes
-    # always carry `after`, so the branch never fires for them)
+    # `cdc.dedup.fold_patches` resolves. updatedFields carries CHANGED
+    # fields only, so a patch not touching a key field has NULL keys there;
+    # key_columns coalesce from the envelope's documentKey (relational
+    # envelopes always carry `after`, so neither branch fires for them)
     upd = env["updateDescription"]["updatedFields"]
     is_patch = (env["op"] == "u") & env["after"].isNull() & upd.isNotNull()
     op = (
@@ -105,7 +120,16 @@ def _event_cols(env: Column, columns: list[tuple[str, str]]) -> list[Column]:
         F.timestamp_millis(ts_ms).alias("ts"),
         op.alias("op"),
     ]
-    cols += [image[n].alias(n) for n, _ in columns]
+    keyset = set(key_columns or ())
+    dockey = F.from_json(env["documentKey"], row)
+    cols += [
+        F.when(op == "P", F.coalesce(image[n], dockey[n]))
+        .otherwise(image[n])
+        .alias(n)
+        if n in keyset
+        else image[n].alias(n)
+        for n, _ in columns
+    ]
     cols.append(env["schema_change"].alias("schema_change"))
     return cols
 
@@ -116,6 +140,7 @@ def parse_debezium(
     value_col: str = "value",
     payload_wrapper: bool = False,
     keep_raw: bool = False,
+    key_columns: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Parse a column of Debezium JSON strings into engine events.
 
@@ -123,6 +148,14 @@ def parse_debezium(
     stream (``value_col="value"`` after ``CAST(value AS STRING)``).
     ``payload_wrapper=True`` unwraps the Connect converter's
     ``{"schema": ..., "payload": {...}}`` framing.
+
+    ``key_columns``: the sink key columns. For partial-image patch events
+    (op='P') the key coalesces from the envelope's ``documentKey`` (the
+    patch document carries only CHANGED fields, so a patch not touching a
+    key field has no key there), and a patch whose key is STILL null after
+    the coalesce is flagged ``_bad`` — merging it would fold the update
+    into a phantom null-key row, silently losing it; the DLQ keeps the raw
+    line recoverable instead.
     """
     schema = envelope_struct(columns)
     if payload_wrapper:
@@ -132,13 +165,17 @@ def parse_debezium(
         env = env["payload"]
     raw = df[value_col]
     out = df.withColumn("_env", env).select(
-        *_event_cols(F.col("_env"), columns), raw.alias("_raw")
+        *_event_cols(F.col("_env"), columns, key_columns=key_columns),
+        raw.alias("_raw"),
     )
     # dead-letter flag: non-null input that either failed to parse OR parsed
     # to an unknown/missing op (anything outside c/r/u/d/s maps op to NULL
     # and would otherwise vanish through every downstream op filter without
     # being counted — both failure shapes route through the same _bad path)
-    out = out.withColumn("_bad", F.col("_raw").isNotNull() & F.col("op").isNull())
+    bad = F.col("_raw").isNotNull() & F.col("op").isNull()
+    for k in key_columns or ():
+        bad = bad | ((F.col("op") == "P") & F.col(k).isNull())
+    out = out.withColumn("_bad", bad)
     return out if keep_raw else out.drop("_raw")
 
 
@@ -152,6 +189,7 @@ def read_debezium_jsonl(
     dead_letter_path: str | None = None,
     keep_raw: bool = False,
     options: dict | None = None,
+    key_columns: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Read newline-delimited Debezium JSON files (batch or file-stream)
     as engine events, ready for ``apply_batch`` / ``replay_stream``.
@@ -161,13 +199,18 @@ def read_debezium_jsonl(
     ``observe`` if a dead-letter metric is needed — keeping the filter
     declarative preserves pushdown of later predicates into the scan).
 
-    ``dead_letter_path`` (batch reads only) appends the RAW offending lines
-    plus the source file and a read timestamp as parquet before they are
-    filtered — the replayable quarantine a production CDC ingest needs (the
-    raw line is the only trustworthy artifact of an unparseable event; the
-    parsed columns are garbage by definition). Streaming reads raise: a
-    side write inside a streaming plan needs its own sink/foreachBatch, and
-    silently skipping the dead letter would be worse than refusing.
+    ``dead_letter_path`` (batch reads only) captures the RAW offending
+    lines plus the source file and a read timestamp as parquet before they
+    are filtered — the replayable quarantine a production CDC ingest needs
+    (the raw line is the only trustworthy artifact of an unparseable event;
+    the parsed columns are garbage by definition). The capture goes into a
+    deterministic per-input ``qpart=`` directory with OVERWRITE, so
+    re-running the same batch ingest (a normal retry) rewrites the same
+    dead letters instead of appending duplicates — the same idempotence
+    contract as the streaming path's per-(run, epoch, sink) dirs, and
+    ``compact-quarantine`` GCs both. Streaming reads raise: a side write
+    inside a streaming plan needs its own sink/foreachBatch, and silently
+    skipping the dead letter would be worse than refusing.
 
     ``keep_raw`` keeps the ``_bad`` flag and ``_raw`` line in the output —
     the streaming replayer uses this (with ``drop_malformed=False``) to
@@ -186,20 +229,32 @@ def read_debezium_jsonl(
     ev = parse_debezium(
         raw, columns, value_col="value", payload_wrapper=payload_wrapper,
         keep_raw=keep_raw or dead_letter_path is not None,
+        key_columns=key_columns,
     )
     if dead_letter_path is not None:
-        # one extra job over the same scan; Catalyst prunes it to
-        # (value -> op-null filter), so the cost is a re-read of bad lines
-        (
-            ev.filter(F.col("_bad"))
-            .select(
-                F.col("_raw").alias("value"),
-                F.input_file_name().alias("source_file"),
-                F.current_timestamp().alias("read_at"),
+        import hashlib
+        import os as _os
+
+        from embulk_filter_copy_spark.cdc.apply import write_quarantine
+
+        # probe first (healthy ingests must not accrete empty qpart dirs),
+        # then one extra job over the same scan; Catalyst prunes both to
+        # (value -> bad-flag filter), so the cost is a re-read of bad lines
+        bad = ev.filter(F.col("_bad"))
+        if bad.limit(1).count() > 0:
+            write_quarantine(
+                bad.select(
+                    F.col("_raw").alias("value"),
+                    F.input_file_name().alias("source_file"),
+                    F.current_timestamp().alias("read_at"),
+                ),
+                dead_letter_path,
+                run_id="batch",
+                epoch=0,
+                sink_id=hashlib.sha1(
+                    _os.path.abspath(path).encode()
+                ).hexdigest()[:8],
             )
-            .write.mode("append")
-            .parquet(dead_letter_path)
-        )
         if not keep_raw:
             ev = ev.drop("_raw")
     if drop_malformed:

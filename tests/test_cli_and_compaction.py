@@ -335,10 +335,12 @@ def test_compact_quarantine_folds_dirs_idempotently(spark, tmpdir_path, capsys):
     assert total == 10 + 11 + 12 + 13 + 14 + 3
 
     res = compact_quarantine(spark, q, keep_recent=2)
-    assert res["dirs_compacted"] == 4 and res["rows"] > 0
-    # mixed layout: 2 recent qpart dirs + 1 compacted dir, same rows
+    # keep_recent protects (run, epoch) GROUPS by last-write recency: the
+    # sinkB write made epoch 0's group the most recent, so groups {0, 4}
+    # stay (3 dirs — BOTH of epoch 0's sinks), epochs 1-3 fold
+    assert res["dirs_compacted"] == 3 and res["rows"] > 0
     names = sorted(os.listdir(q))
-    assert sum(n.startswith("qpart=") for n in names) == 2
+    assert sum(n.startswith("qpart=") for n in names) == 3
     assert sum(n.startswith("qcompact=") for n in names) == 1
     assert read_quarantine(spark, q).count() == total
 
@@ -575,3 +577,54 @@ def test_compact_quarantine_crash_then_new_epochs_no_double_fold(spark, tmpdir_p
     assert len(dirs) == 1 and dirs[0].startswith("qcompact=")
     with open(os.path.join(q, dirs[0], "_SRC")) as fh:
         assert fh.read().strip() == dirs[0]  # manifest trimmed post-sweep
+
+
+def test_compact_quarantine_protects_whole_inflight_epoch_group(spark, tmpdir_path):
+    """Round-4 review finding: one epoch quarantining to MORE sinks than
+    keep_recent used to get some of its dirs folded while the epoch was
+    still in flight — the resume then re-created a folded dir and its rows
+    doubled forever. keep_recent now protects (run, epoch) GROUPS per run,
+    so every sink dir of an in-flight epoch survives, and the resume's
+    overwrite stays idempotent."""
+    import os
+
+    from embulk_filter_copy_spark.cdc.apply import (
+        compact_quarantine,
+        read_quarantine,
+        write_quarantine,
+    )
+
+    q = os.path.join(tmpdir_path, "quar")
+    os.makedirs(q)
+    mk = lambda n: spark.range(n).selectExpr("id", "cast(id as string) AS v")
+    # a finished epoch 0, then an IN-FLIGHT epoch 1 fanning out to 3 sinks
+    write_quarantine(mk(5), q, "run1", 0, "sinkA")
+    for sink in ("sinkA", "sinkB", "sinkC"):
+        write_quarantine(mk(7), q, "run1", 1, sink)
+    total = read_quarantine(spark, q).count()
+
+    res = compact_quarantine(spark, q, keep_recent=1)
+    # epoch 1's THREE dirs are all protected (one group), epoch 0 folds
+    assert res["dirs_compacted"] == 1
+    assert sum(n.startswith("qpart=") for n in os.listdir(q)) == 3
+
+    # the epoch resumes: every sink dir overwrites idempotently
+    for sink in ("sinkA", "sinkB", "sinkC"):
+        write_quarantine(mk(7), q, "run1", 1, sink)
+    assert read_quarantine(spark, q).count() == total
+
+    # epoch finishes, epoch 2 opens -> epoch 1 unprotects and folds once
+    write_quarantine(mk(2), q, "run1", 2, "sinkA")
+    compact_quarantine(spark, q, keep_recent=1)
+    assert read_quarantine(spark, q).count() == total + 2
+
+    # a second run's in-flight epoch is protected INDEPENDENTLY
+    write_quarantine(mk(4), q, "run2", 0, "sinkA")
+    res3 = compact_quarantine(spark, q, keep_recent=1)
+    assert res3["dirs_compacted"] == 0  # both runs' latest groups protected
+    assert read_quarantine(spark, q).count() == total + 2 + 4
+
+    # protect_age=0: everything is considered idle and folds
+    res4 = compact_quarantine(spark, q, keep_recent=1, protect_age=0.0)
+    assert sum(n.startswith("qpart=") for n in os.listdir(q)) == 0
+    assert read_quarantine(spark, q).count() == total + 2 + 4

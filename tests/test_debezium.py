@@ -380,3 +380,81 @@ def test_dead_letter_rejected_for_parquet_source(spark, tmp_path):
             spark, str(tmp_path / "wal"), str(tmp_path / "t"),
             checkpoint=str(tmp_path / "ck"), dead_letter=str(tmp_path / "d"),
         )
+
+
+def test_mongo_patch_key_from_document_key(spark):
+    """A Mongo patch that does not touch key fields has no key in
+    updatedFields (changed fields only) — the key must coalesce from the
+    envelope's documentKey, else the update folds into a phantom null-key
+    row and is silently lost (round-4 review finding)."""
+    import json
+
+    from embulk_filter_copy_spark.sources.debezium import parse_debezium
+
+    cols = [("repo", "string"), ("path", "string"), ("content", "string")]
+    lines = [
+        # patch touching ONLY a non-key column; key rides in documentKey
+        json.dumps({"op": "u", "after": None,
+                    "documentKey": json.dumps({"repo": "r1", "path": "p"}),
+                    "updateDescription": {"updatedFields": json.dumps(
+                        {"content": "patched"})},
+                    "source": {"lsn": 5, "ts_ms": 1000}}),
+        # patch with key fields in the patch doc AND documentKey: the patch
+        # doc wins (coalesce order), both agree anyway
+        json.dumps({"op": "u", "after": None,
+                    "documentKey": json.dumps({"repo": "r1", "path": "p"}),
+                    "updateDescription": {"updatedFields": json.dumps(
+                        {"repo": "r1", "path": "p", "content": "x"})},
+                    "source": {"lsn": 6, "ts_ms": 1000}}),
+    ]
+    df = spark.createDataFrame([(s,) for s in lines], "value string")
+    out = {r["lsn"]: r for r in parse_debezium(
+        df, cols, key_columns=("repo", "path")).collect()}
+    assert out[5]["op"] == "P" and not out[5]["_bad"]
+    assert (out[5]["repo"], out[5]["path"]) == ("r1", "p")
+    assert out[5]["content"] == "patched"
+    assert (out[6]["repo"], out[6]["path"]) == ("r1", "p")
+
+
+def test_mongo_patch_null_key_routes_to_dead_letter(spark):
+    """A patch whose key is null even after the documentKey coalesce is
+    flagged _bad — merging it would fold the update into a null-key
+    tombstone and silently lose it; the DLQ keeps the raw line."""
+    import json
+
+    from embulk_filter_copy_spark.sources.debezium import parse_debezium
+
+    cols = [("repo", "string"), ("path", "string"), ("content", "string")]
+    line = json.dumps({"op": "u", "after": None,
+                       "updateDescription": {"updatedFields": json.dumps(
+                           {"content": "lost?"})},
+                       "source": {"lsn": 7, "ts_ms": 1000}})
+    df = spark.createDataFrame([(line,)], "value string")
+    out = parse_debezium(df, cols, key_columns=("repo", "path")).collect()
+    assert len(out) == 1 and out[0]["_bad"]
+    # without key_columns the caller gets the old permissive behavior
+    out2 = parse_debezium(df, cols).collect()
+    assert not out2[0]["_bad"]
+
+
+def test_batch_dead_letter_retry_is_idempotent(spark, tmp_path):
+    """Re-running the same batch ingest (a normal retry) must not append
+    duplicate dead-letter rows: the capture overwrites a deterministic
+    per-input qpart directory (round-4 review finding)."""
+    import json
+
+    from embulk_filter_copy_spark.cdc.apply import read_quarantine
+    from embulk_filter_copy_spark.sources.debezium import read_debezium_jsonl
+
+    cols = [("repo", "string"), ("path", "string")]
+    good = json.dumps({"op": "c", "after": {"repo": "r", "path": "p"},
+                       "source": {"lsn": 1, "ts_ms": 1}})
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join([good, "{corrupt"]) + "\n")
+    dlq = str(tmp_path / "dlq")
+    for _ in range(3):  # ingest + two retries
+        ev = read_debezium_jsonl(spark, str(src), cols, dead_letter_path=dlq)
+        assert ev.count() == 1
+    dead = read_quarantine(spark, dlq).collect()
+    assert len(dead) == 1 and dead[0]["value"] == "{corrupt"
