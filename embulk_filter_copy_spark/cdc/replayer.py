@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from embulk_filter_copy_spark.cdc.apply import apply_batch
+from embulk_filter_copy_spark.cdc.apply import EPOCH_DONE_SEQ, apply_batch
 from embulk_filter_copy_spark.cdc.splitter import LeafSink, SinkSpec, apply_transforms, flatten_specs
 from embulk_filter_copy_spark.fixtures.generator import EVENT_SCHEMA
 from embulk_filter_copy_spark.lake.schema import spark_type
@@ -420,6 +420,95 @@ def replay_stream(
         if recorder is not None:
             spark.streams.removeListener(recorder)
     return applier.results
+
+
+def redrive_dead_letters(
+    spark: SparkSession,
+    dlq_path: str,
+    sink: str,
+    keys: tuple[str, ...] = ("repo", "path"),
+    payload_wrapper: bool = False,
+    event_schema: T.StructType | str | None = None,
+    dedup: str = "plain",
+    merge_mode: str = "cow",
+) -> dict:
+    """Re-parse captured dead letters and apply the survivors — the heal
+    path that makes the DLQ a retry queue instead of a terminal archive.
+
+    Dead letters hold the RAW envelope line (the only trustworthy artifact
+    of an unparseable event). When the cause is fixable at the consumer —
+    a payload-wrapper misconfiguration, a parser upgrade (e.g. documentKey
+    support), a schema correction — redriving with corrected parse options
+    recovers the events: each quarantine directory re-parses through
+    ``parse_debezium`` and its survivors apply through the normal
+    ``apply_batch`` path (LWW + LSN guard, so long-stale recovered events
+    lose to fresher table state instead of regressing it).
+
+    Idempotence: one deterministic epoch per quarantine DIRECTORY under a
+    run id derived from the DLQ path — re-running skips directories whose
+    epoch already committed, and a directory re-digested by
+    ``compact-quarantine`` re-applies rows whose merge is a no-op under
+    the LSN guard. Lines that STILL fail to parse stay in place and are
+    counted in ``still_dead``.
+    """
+    from embulk_filter_copy_spark.sources.debezium import parse_debezium
+
+    table = LakeTable.load(spark, sink)
+    envelope = {"lsn", "ts", "op", "schema_change"}
+    if event_schema is not None:
+        struct = (
+            T.StructType.fromDDL(event_schema)
+            if isinstance(event_schema, str)
+            else event_schema
+        )
+        columns = [
+            (f.name, f.dataType) for f in struct.fields if f.name not in envelope
+        ]
+    else:
+        columns = [(f.name, f.type) for f in table.schema.fields]
+    run_id = "redrive-" + hashlib.sha1(
+        os.path.abspath(dlq_path).encode()
+    ).hexdigest()[:12]
+    entries = sorted(
+        e for e in os.listdir(dlq_path)
+        if (e.startswith("qpart=") or e.startswith("qcompact="))
+        and os.path.isdir(os.path.join(dlq_path, e))
+    )
+    applied = 0
+    still_dead = 0
+    dirs_done = 0
+    dirs_skipped = 0
+    for e in entries:
+        # stable per-directory epoch: resuming a crashed redrive (or
+        # re-running a finished one) skips committed directories
+        epoch = int(hashlib.sha1(e.encode()).hexdigest()[:15], 16)
+        if table.has_commit(run_id, epoch, EPOCH_DONE_SEQ):
+            dirs_skipped += 1
+            continue
+        raw = spark.read.parquet(os.path.join(dlq_path, e))
+        ev = parse_debezium(
+            raw, columns, value_col="value",
+            payload_wrapper=payload_wrapper, key_columns=tuple(keys),
+        )
+        dead = ev.filter(F.col("_bad")).count()
+        res = apply_batch(
+            table,
+            ev.filter(~F.col("_bad")).drop("_bad"),
+            run_id=run_id,
+            epoch=epoch,
+            dedup=dedup,
+            merge_mode=merge_mode,
+        )
+        applied += res.get("rows_applied", 0)
+        still_dead += dead
+        dirs_done += 1
+    return {
+        "run_id": run_id,
+        "dirs_redriven": dirs_done,
+        "dirs_skipped": dirs_skipped,
+        "rows_applied": applied,
+        "still_dead": still_dead,
+    }
 
 
 def replay_batch(

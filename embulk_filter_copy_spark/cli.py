@@ -161,6 +161,24 @@ def cmd_compact_quarantine(args) -> None:
     )))
 
 
+def cmd_redrive(args) -> None:
+    """Re-parse dead-lettered raw envelope lines with corrected options and
+    apply the survivors through the normal batch merge; still-unparseable
+    lines stay dead-lettered. Idempotent per quarantine directory."""
+    from embulk_filter_copy_spark.cdc.replayer import redrive_dead_letters
+
+    spark = _spark(args)
+    print(json.dumps(redrive_dead_letters(
+        spark,
+        args.dead_letter,
+        args.sink,
+        keys=tuple(args.keys.split(",")),
+        payload_wrapper=args.payload_wrapper,
+        dedup=args.dedup,
+        merge_mode=args.merge_mode,
+    )))
+
+
 def cmd_rescale(args) -> None:
     from embulk_filter_copy_spark.lake.table import LakeTable
 
@@ -263,6 +281,17 @@ def main(argv: list[str] | None = None) -> None:
                          "seconds (default: protect indefinitely; set it >> "
                          "the longest plausible crash-resume lag)")
 
+    rd = sub.add_parser("redrive",
+                        help="re-parse dead letters and apply the survivors")
+    rd.add_argument("--dead-letter", required=True, help="DLQ root to redrive")
+    rd.add_argument("--sink", required=True, help="sink table path")
+    rd.add_argument("--keys", default="repo,path")
+    rd.add_argument("--payload-wrapper", action="store_true",
+                    help="parse with the Connect {schema, payload} framing "
+                         "(e.g. when its absence was what dead-lettered them)")
+    rd.add_argument("--dedup", choices=["plain", "salted", "patch"], default="plain")
+    rd.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+
     rs = sub.add_parser("rescale", help="rewrite the table under a new bucket count")
     rs.set_defaults(func=cmd_rescale)
     rs.add_argument("--table", required=True)
@@ -295,6 +324,7 @@ def main(argv: list[str] | None = None) -> None:
         "replay": cmd_replay,
         "compact": cmd_compact,
         "compact-quarantine": cmd_compact_quarantine,
+        "redrive": cmd_redrive,
         "rescale": cmd_rescale,
         "expire": cmd_expire,
         "changes": cmd_changes,

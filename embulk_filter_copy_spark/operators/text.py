@@ -153,6 +153,9 @@ def repetition_stats(
     )
 
 
+STOP_WORDS = ("the", "a", "of", "and", "to", "in", "is", "that")
+
+
 def quality_rules(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -163,6 +166,13 @@ def quality_rules(
     max_mean_word_len: float = 12.0,
     max_top_token_frac: float = 0.2,
     min_ttr: float = 0.2,
+    min_stop_hits: int = 0,
+    max_symbol_word_ratio: float = 1.0,
+    max_bullet_line_frac: float = 1.0,
+    max_ellipsis_line_frac: float = 1.0,
+    min_alpha_word_frac: float = 0.0,
+    max_short_word_frac: float = 1.0,
+    stop_words: tuple[str, ...] = STOP_WORDS,
 ) -> DataFrame:
     """Gopher/C4-style per-document FILTER GATE: each heuristic is a named
     boolean column and ``keep`` is their conjunction — the explainable
@@ -171,33 +181,96 @@ def quality_rules(
     and a rejected doc should say WHICH rule killed it for corpus-level
     rejection accounting).
 
-    Rules (all thresholds are parameters): token-count bounds, mean word
-    length bounds, top-unigram repetition cap (:func:`repetition_stats`'s
-    explode shape — counts shuffle, text doesn't), and a type-token-ratio
-    floor. Rule booleans are computed on exact integer arithmetic, so any
-    engine agrees bit-for-bit; the reported ratio columns are rounded for
-    display only."""
+    Rules (all thresholds are parameters; the Gopher-paper heuristics
+    added in round 5 default PERMISSIVE so existing gates keep their
+    semantics until a threshold is chosen):
+
+      * ``rule_len``         — token-count bounds
+      * ``rule_word_len``    — mean word length bounds
+      * ``rule_repetition``  — top-unigram fraction cap
+        (:func:`repetition_stats`'s explode shape — counts shuffle, text
+        doesn't)
+      * ``rule_diversity``   — type-token-ratio floor
+      * ``rule_stopwords``   — ≥ N distinct stop words present (Gopher:
+        ≥2 of a small closed set)
+      * ``rule_symbol``      — (# + ellipsis) per word ≤ cap (Gopher 0.1)
+      * ``rule_bullet``      — fraction of lines starting with a bullet
+        ≤ cap (Gopher 0.9)
+      * ``rule_ellipsis``    — fraction of lines ending in an ellipsis
+        ≤ cap (Gopher 0.3)
+      * ``rule_alpha``       — fraction of words containing a letter
+        ≥ floor (Gopher 0.8)
+      * ``rule_short_words`` — fraction of ≤2-char tokens ≤ cap (stub /
+        fragment density)
+
+    Rule booleans compute on exact integer counts (one IEEE division per
+    ratio), so any engine agrees bit-for-bit; the reported ratio columns
+    are rounded for display only. Everything is built-in expressions —
+    the text column never crosses into Python and never shuffles (only
+    the repetition stage shuffles, and it shuffles hashed counts)."""
     stats = token_stats(df.select(id_col, text_col), text_col)
     rep = repetition_stats(df.select(id_col, text_col), id_col, text_col)
     n_chars = F.length(F.col(text_col))
-    mean_wl = (n_chars - (F.col("n_tokens") - 1)) / F.col("n_tokens")
-    ttr = F.col("n_distinct_tokens") / F.col("n_tokens")
+    n_tok = F.col("n_tokens")
+    mean_wl = (n_chars - (n_tok - 1)) / n_tok
+    ttr = F.col("n_distinct_tokens") / n_tok
+
+    toks = f"split({text_col}, ' ')"
+    lines = f"split({text_col}, '\\n')"
+    stop_arr = ", ".join(f"'{w}'" for w in stop_words)
+    stop_hits = F.expr(
+        f"size(array_intersect(array_distinct({toks}), array({stop_arr})))"
+    )
+    # non-overlapping occurrence counts via length deltas — exact integers
+    hash_cnt = n_chars - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    ell3_cnt = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / F.lit(3)
+    uell_cnt = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "…", "")
+    )
+    symbol_ratio = (hash_cnt + ell3_cnt + uell_cnt) / n_tok
+    n_lines = F.expr(f"size({lines})")
+    bullet_frac = F.expr(
+        f"size(filter({lines}, l -> l LIKE '-%' OR l LIKE '*%'"
+        f" OR l LIKE '•%'))"
+    ) / n_lines
+    ellipsis_frac = F.expr(
+        f"size(filter({lines}, l -> l LIKE '%...' OR l LIKE '%…'))"
+    ) / n_lines
+    alpha_frac = F.expr(
+        f"size(filter({toks}, w -> w rlike '[A-Za-z]'))"
+    ) / n_tok
+    short_frac = F.expr(f"size(filter({toks}, w -> length(w) <= 2))") / n_tok
+
     j = stats.join(rep, id_col)
-    rule_len = F.col("n_tokens").between(min_tokens, max_tokens)
-    rule_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
-    rule_rep = F.col("top_token_frac") <= max_top_token_frac
-    rule_ttr = ttr >= min_ttr
+    rules = {
+        "rule_len": n_tok.between(min_tokens, max_tokens),
+        "rule_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "rule_repetition": F.col("top_token_frac") <= max_top_token_frac,
+        "rule_diversity": ttr >= min_ttr,
+        "rule_stopwords": stop_hits >= min_stop_hits,
+        "rule_symbol": symbol_ratio <= max_symbol_word_ratio,
+        "rule_bullet": bullet_frac <= max_bullet_line_frac,
+        "rule_ellipsis": ellipsis_frac <= max_ellipsis_line_frac,
+        "rule_alpha": alpha_frac >= min_alpha_word_frac,
+        "rule_short_words": short_frac <= max_short_word_frac,
+    }
+    keep = None
+    for r in rules.values():
+        keep = r if keep is None else (keep & r)
     return j.select(
         id_col,
         F.col("n_tokens"),
         F.round(mean_wl, 4).alias("mean_word_len"),
         F.round(ttr, 4).alias("ttr"),
         F.round("top_token_frac", 4).alias("top_token_frac"),
-        rule_len.alias("rule_len"),
-        rule_wl.alias("rule_word_len"),
-        rule_rep.alias("rule_repetition"),
-        rule_ttr.alias("rule_diversity"),
-        (rule_len & rule_wl & rule_rep & rule_ttr).alias("keep"),
+        stop_hits.cast("int").alias("stop_hits"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(short_frac, 4).alias("short_word_frac"),
+        *[r.alias(name) for name, r in rules.items()],
+        keep.alias("keep"),
     )
 
 

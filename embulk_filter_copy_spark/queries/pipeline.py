@@ -673,14 +673,24 @@ FROM sh
 
 
 def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality gate: named Gopher/C4-style rule booleans +
-    the keep conjunction (thresholds tuned so the synthetic corpus splits
-    both ways on each rule)."""
+    """Per-document quality gate: ten named Gopher/C4-style rule booleans
+    + the keep conjunction. Lexical thresholds are tuned so the synthetic
+    corpus splits both ways (len / word-len / repetition / diversity /
+    stopwords / short-words); the structural Gopher rules (symbol, bullet,
+    ellipsis, alpha) run at paper thresholds — the synthetic corpus has no
+    such structure, so they pass here and split on the structured corpus
+    in tests/test_text_ops.py."""
     return TX.quality_rules(
         t(spark, sf_dir, "documents"),
         min_tokens=30, max_tokens=400,
         min_mean_word_len=3.0, max_mean_word_len=4.5,
         max_top_token_frac=0.12, min_ttr=0.4,
+        min_stop_hits=2,
+        max_symbol_word_ratio=0.1,
+        max_bullet_line_frac=0.9,
+        max_ellipsis_line_frac=0.3,
+        min_alpha_word_frac=0.8,
+        max_short_word_frac=0.05,
     )
 
 
@@ -689,7 +699,21 @@ WITH tk AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
          len(list_distinct(string_split(text, ' '))) AS n_distinct,
-         length(text) AS n_chars
+         length(text) AS n_chars,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             ['the','a','of','and','to','in','is','that'])) AS stop_hits,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3
+           + (length(text) - length(replace(text, '…', ''))) AS symbols,
+         len(list_filter(string_split(text, chr(10)),
+             l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS bullet_lines,
+         len(list_filter(string_split(text, chr(10)),
+             l -> l LIKE '%...' OR l LIKE '%…')) AS ellipsis_lines,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+         len(list_filter(string_split(text, ' '),
+             w -> length(w) <= 2)) AS short_words
   FROM documents
 ),
 uni AS (
@@ -701,22 +725,38 @@ rep AS (
   SELECT doc_id, max(c) AS top_c, sum(c) AS total_c FROM uni GROUP BY doc_id
 ),
 j AS (
-  SELECT tk.doc_id, n_tokens,
+  SELECT tk.doc_id, n_tokens, stop_hits,
          (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS mwl,
          n_distinct / CAST(n_tokens AS DOUBLE) AS ttr,
-         top_c / CAST(total_c AS DOUBLE) AS ttf
+         top_c / CAST(total_c AS DOUBLE) AS ttf,
+         symbols / CAST(n_tokens AS DOUBLE) AS syr,
+         bullet_lines / CAST(n_lines AS DOUBLE) AS blf,
+         ellipsis_lines / CAST(n_lines AS DOUBLE) AS elf,
+         alpha_words / CAST(n_tokens AS DOUBLE) AS awf,
+         short_words / CAST(n_tokens AS DOUBLE) AS swf
   FROM tk JOIN rep ON rep.doc_id = tk.doc_id
 )
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
        round(mwl, 4) AS mean_word_len,
        round(ttr, 4) AS ttr,
        round(ttf, 4) AS top_token_frac,
+       CAST(stop_hits AS INT) AS stop_hits,
+       round(syr, 4) AS symbol_ratio,
+       round(swf, 4) AS short_word_frac,
        (n_tokens BETWEEN 30 AND 400) AS rule_len,
        (mwl >= 3.0 AND mwl <= 4.5) AS rule_word_len,
        (ttf <= 0.12) AS rule_repetition,
        (ttr >= 0.4) AS rule_diversity,
+       (stop_hits >= 2) AS rule_stopwords,
+       (syr <= 0.1) AS rule_symbol,
+       (blf <= 0.9) AS rule_bullet,
+       (elf <= 0.3) AS rule_ellipsis,
+       (awf >= 0.8) AS rule_alpha,
+       (swf <= 0.05) AS rule_short_words,
        ((n_tokens BETWEEN 30 AND 400) AND (mwl >= 3.0 AND mwl <= 4.5)
-        AND (ttf <= 0.12) AND (ttr >= 0.4)) AS keep
+        AND (ttf <= 0.12) AND (ttr >= 0.4) AND (stop_hits >= 2)
+        AND (syr <= 0.1) AND (blf <= 0.9) AND (elf <= 0.3)
+        AND (awf >= 0.8) AND (swf <= 0.05)) AS keep
 FROM j
 """
 

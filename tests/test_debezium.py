@@ -458,3 +458,80 @@ def test_batch_dead_letter_retry_is_idempotent(spark, tmp_path):
         assert ev.count() == 1
     dead = read_quarantine(spark, dlq).collect()
     assert len(dead) == 1 and dead[0]["value"] == "{corrupt"
+
+
+def test_dlq_redrive_recovers_healed_lines(spark, tmp_path):
+    """Poison a stream (payload-wrapped lines read without the wrapper ->
+    every line dead-letters), redrive with the corrected option, and the
+    sink equals the never-poisoned oracle. A second redrive is a no-op
+    (per-directory epochs already committed) and a permanently-corrupt
+    line stays dead."""
+    from embulk_filter_copy_spark.cdc.replayer import (
+        redrive_dead_letters,
+        replay_stream,
+    )
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    cols = [("repo", "string"), ("path", "string"), ("content", "string")]
+    wrapped = [
+        json.dumps({"payload": {
+            "op": "c",
+            "after": {"repo": "r1", "path": "p", "content": "v1"},
+            "source": {"lsn": 1, "ts_ms": 1000}}}),
+        json.dumps({"payload": {
+            "op": "u",
+            "after": {"repo": "r1", "path": "p", "content": "v2"},
+            "source": {"lsn": 2, "ts_ms": 2000}}}),
+        "{never-parseable",
+    ]
+    src = tmp_path / "wal"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(wrapped) + "\n")
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), cols, key_columns=["repo", "path"],
+        n_buckets=4,
+    )
+    dlq = str(tmp_path / "dlq")
+    # misconfigured consumer: wrapper framing not unwrapped -> all bad
+    replay_stream(
+        spark, str(src), str(tmp_path / "t"),
+        checkpoint=str(tmp_path / "ck"),
+        source_format="debezium-jsonl", dead_letter=dlq,
+    )
+    assert table.read().count() == 0
+
+    res = redrive_dead_letters(
+        spark, dlq, str(tmp_path / "t"), payload_wrapper=True
+    )
+    assert res["rows_applied"] == 1 and res["still_dead"] == 1
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v2"
+
+    # oracle: the same lines replayed healthy into a fresh table
+    oracle = LakeTable.create(
+        spark, str(tmp_path / "o"), cols, key_columns=["repo", "path"],
+        n_buckets=4,
+    )
+    replay_stream(
+        spark, str(src), str(tmp_path / "o"),
+        checkpoint=str(tmp_path / "cko"),
+        source_format="debezium-jsonl", payload_wrapper=True,
+        dead_letter=str(tmp_path / "dlqo"),
+    )
+    assert sorted(map(tuple, oracle.read().collect())) == sorted(
+        map(tuple, table.read().collect())
+    )
+
+    # idempotent re-run: committed directory skips, nothing re-applies
+    res2 = redrive_dead_letters(
+        spark, dlq, str(tmp_path / "t"), payload_wrapper=True
+    )
+    assert res2["dirs_skipped"] == 1 and res2["rows_applied"] == 0
+
+    # CLI surface
+    from embulk_filter_copy_spark import cli
+
+    cli.main([
+        "--master", "local[4]", "redrive", "--dead-letter", dlq,
+        "--sink", str(tmp_path / "t"), "--payload-wrapper",
+    ])

@@ -799,3 +799,55 @@ def test_quality_rules_named_verdicts(spark):
     assert out[2]["rule_len"] and out[2]["rule_word_len"]
     assert not out[2]["rule_repetition"] and not out[2]["rule_diversity"]
     assert not out[3]["keep"] and not out[3]["rule_len"]
+
+
+def test_quality_rules_gopher_structural_set(spark):
+    """Round-5 extension: the structural Gopher heuristics (stopwords,
+    symbol ratio, bullet lines, ellipsis lines, alpha words, short words)
+    each split a structured corpus both ways at paper thresholds, and a
+    doc failing exactly one rule reports exactly that rule."""
+    good = ("the quick brown fox jumps over a lazy dog and keeps running "
+            "through the field while birds watch from tall trees nearby")
+    docs = [
+        (1, good),
+        # no stop words at all
+        (2, "quick brown foxes jump over lazy dogs chasing rabbits "
+            "through fields while birds watch from tall trees nearby"),
+        # symbol spam: hash marks attached to words (tokens stay alphabetic)
+        (3, good.replace("fox", "fox#").replace("dog", "dog#")
+              .replace("birds", "birds#").replace("field", "field#")
+              .replace("trees", "trees#")),
+        # bullet-list body: every line starts with a bullet
+        (4, "\n".join("- the point number %d of a list" % i
+                      for i in range(10))),
+        # 4 of 10 lines trail off with an ellipsis (>0.3 but few symbols)
+        (5, "\n".join(
+            "the story continues with lots of long interesting words"
+            + ("..." if i < 4 else ".") for i in range(10))),
+        # mostly numeric tokens (long ones, so short-word density stays low)
+        (6, "the 11111 22222 33333 44444 55555 66666 77777 88888 99999 "
+            "10101 12121 13131 14141 15151 16161 17171 18181 19191 a of"),
+        # stub/fragment density: mostly <=2-char tokens
+        (7, "the a an it is to of in on at by we he a an it is to of a"),
+    ]
+    out = {r["doc_id"]: r for r in TX.quality_rules(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        min_tokens=5, max_tokens=500,
+        min_mean_word_len=1.0, max_mean_word_len=12.0,
+        max_top_token_frac=0.9, min_ttr=0.05,
+        min_stop_hits=2, max_symbol_word_ratio=0.1,
+        max_bullet_line_frac=0.9, max_ellipsis_line_frac=0.3,
+        min_alpha_word_frac=0.8, max_short_word_frac=0.5,
+    ).collect()}
+    assert out[1]["keep"]
+    structural = ("rule_stopwords", "rule_symbol", "rule_bullet",
+                  "rule_ellipsis", "rule_alpha", "rule_short_words")
+    for rule, bad_doc in zip(structural, (2, 3, 4, 5, 6, 7)):
+        assert not out[bad_doc][rule], (rule, bad_doc, out[bad_doc])
+        assert not out[bad_doc]["keep"]
+        # every structural rule passes on the clean doc
+        assert out[1][rule], rule
+    # each failing doc fails ONLY its targeted structural rule
+    for rule, bad_doc in zip(structural, (2, 3, 4, 5, 6, 7)):
+        others = [r for r in structural if r != rule]
+        assert all(out[bad_doc][r] for r in others), (rule, bad_doc, out[bad_doc])
