@@ -24,39 +24,14 @@ for m in (CDC_QUERIES, TPCH_QUERIES, PIPELINE_QUERIES):
     assert not dup, f"duplicate query names: {dup}"
     _MERGED.update(m)
 
-# Verification priority (round 4): the 13 round-3 queries that registered
-# past the driver's 50-row window and never got a driver-oracle row, plus
-# the two whose oracle is new this round (the fixture-pinned k-means pair).
+# Verification priority (round 5 rotation): the one query whose OUTPUT
+# changed this round (text_quality_rules grew six rule columns) registers
+# first, followed by the 22 rows deprioritized in round 4 — their newest
+# driver rows are from round 3, the rotation policy's age limit, so they
+# re-enter the window now. The 27 unlisted mid-catalog queries keep their
+# round-4 window slots.
 _PRIORITY = [
-    "multimodal_features",
-    "sample_docs_by_hash",
-    "sample_stratified_docs",
-    "pack_training_sequences",
-    "text_scrub_pii",
-    "text_repetition_stats",
-    "dedup_incremental_signatures",
-    "decontam_ngram_overlap",
-    "dedup_span_stats",
-    "sample_assign_shards",
-    "sample_mixture_weights",
-    "text_unigram_logprob",
-    "dedup_trim_spans",
-    "ann_ivf_kmeans_topk",
-    "dedup_embedding_kmeans",
-    "dedup_embedding_keep_list",
-    "cdc_patch_fold",
-    "sample_leakage_safe_split",
-    "sample_domain_token_cap",
-    "ann_ivf_recall",
-    "cdc_temporal_join",
-    "pipeline_build_corpus",
     "text_quality_rules",
-]
-
-# Long-green rows (every one has a passing driver row in CORRECTNESS_r03)
-# that yield their first-50 slot to the priority list; they remain fully
-# covered by the local parity suite.
-_DEPRIORITIZED = [
     "text_fingerprint_stats",
     "multimodal_metadata",
     "join_broadcast_segment",
@@ -79,6 +54,34 @@ _DEPRIORITIZED = [
     "q3_shipping_priority",
     "dedup_components_star",
     "dedup_minhash_signatures",
+]
+
+# Fresh round-4 green rows (CORRECTNESS_r04) yield their first-50 slot to
+# the rotation; they remain fully covered by the local parity suite every
+# run and rotate back in next round.
+_DEPRIORITIZED = [
+    "multimodal_features",
+    "sample_docs_by_hash",
+    "sample_stratified_docs",
+    "pack_training_sequences",
+    "text_scrub_pii",
+    "text_repetition_stats",
+    "dedup_incremental_signatures",
+    "decontam_ngram_overlap",
+    "dedup_span_stats",
+    "sample_assign_shards",
+    "sample_mixture_weights",
+    "text_unigram_logprob",
+    "dedup_trim_spans",
+    "ann_ivf_kmeans_topk",
+    "dedup_embedding_kmeans",
+    "dedup_embedding_keep_list",
+    "cdc_patch_fold",
+    "sample_leakage_safe_split",
+    "sample_domain_token_cap",
+    "ann_ivf_recall",
+    "cdc_temporal_join",
+    "pipeline_build_corpus",
 ]
 
 for n in _PRIORITY + _DEPRIORITIZED:
