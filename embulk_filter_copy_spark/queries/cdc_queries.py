@@ -587,6 +587,88 @@ def cdc_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_patch_replay_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-epoch duplicate patch replay through the REAL merge path (the
+    round-5 per-piece LSN guard): derive a patch log from `events`
+    (%7==0 -> delete, %5==0 -> value-only patch, else full image), split it
+    into two LSN-ordered epochs, re-deliver every epoch-0 event with
+    lsn%11==0 into epoch 1 as an out-of-horizon duplicate, and apply both
+    epochs with ``apply_batch(dedup='patch')`` into a bucketed LakeTable.
+    The stale duplicates (patches, full images, AND deletes) must lose per
+    piece to the target's LSN while epoch 1's fresh events still apply.
+    Oracle: strict sequential per-event replay in LSN order over the
+    DISTINCT log (duplicates are exact copies)."""
+    from embulk_filter_copy_spark.cdc.apply import apply_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit("D"))
+        .when(F.col("event_id") % 5 == 0, F.lit("P"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.when(
+            (F.col("event_id") % 7 == 0) | (F.col("event_id") % 5 == 0),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    mid = (lo + hi) // 2
+    e0 = ev.filter(F.col("lsn") <= mid)
+    dups = e0.filter(F.col("lsn") % 11 == 0)
+    e1 = ev.filter(F.col("lsn") > mid).unionByName(dups)
+    root = tempfile.mkdtemp(prefix="efc-patchdup-q-")
+    table = LakeTable.create(
+        spark,
+        f"{root}/t",
+        [("user_id", "long"), ("event_type", "string"), ("value", "double")],
+        key_columns=["user_id"],
+        n_buckets=16,
+    )
+    apply_batch(table, e0, run_id="q-pd", epoch=0, dedup="patch")
+    apply_batch(table, e1, run_id="q-pd", epoch=1, dedup="patch")
+    return table.read().select(
+        "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+CDC_PATCH_REPLAY_DUPS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id AS lsn,
+         CASE WHEN event_id % 7 = 0 THEN 'D'
+              WHEN event_id % 5 = 0 THEN 'P' ELSE 'U' END AS op,
+         CASE WHEN event_id % 7 = 0 OR event_id % 5 = 0 THEN NULL
+              ELSE event_type END AS event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+  FROM events
+),
+-- duplicates are exact copies of already-present rows: the sequential
+-- oracle replays each event once, in global LSN order
+g AS (
+  SELECT user_id,
+         max(lsn)                 FILTER (op = 'U') AS fl,
+         max(lsn)                 FILTER (op = 'D') AS dl,
+         arg_max(event_type, lsn) FILTER (op = 'U') AS f_etype,
+         arg_max(value, lsn)      FILTER (op = 'U') AS f_value,
+         arg_max(value, lsn)      FILTER (op = 'P' AND value IS NOT NULL) AS p_value,
+         max(lsn)                 FILTER (op = 'P' AND value IS NOT NULL) AS pl_value
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, f_etype AS event_type,
+       round(CASE WHEN pl_value IS NOT NULL AND pl_value > fl
+                  THEN p_value ELSE f_value END, 6) AS value
+FROM g
+WHERE fl IS NOT NULL AND (dl IS NULL OR fl > dl)
+"""
+
+
 CDC_PATCH_FOLD_SQL = """
 WITH ev AS (
   SELECT user_id, event_id AS lsn,
@@ -699,6 +781,7 @@ FROM f LEFT JOIN h
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
     "cdc_patch_fold": (cdc_patch_fold, CDC_PATCH_FOLD_SQL),
+    "cdc_patch_replay_dups": (cdc_patch_replay_dups, CDC_PATCH_REPLAY_DUPS_SQL),
     "cdc_temporal_join": (cdc_temporal_join, _temporal_join_sql()),
     "cdc_scd2_history": (cdc_scd2_history, _scd2_sql()),
     "cdc_scd2_incremental": (cdc_scd2_incremental, _scd2_sql()),
