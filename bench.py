@@ -382,6 +382,14 @@ def _history_throughput(spark, events, workdir: str) -> dict:
         facts, read_history(rtable), ["repo", "path"], "at_lsn", how="inner"
     ).count()
     tj_dur = max(time.time() - t0, 1e-9)
+    # same facts against the MATERIALIZED view (intervals pre-baked — no
+    # lead() window at read): the read-optimized path the view exists for
+    t0 = time.time()
+    matched_v = temporal_join(
+        facts, view.read().drop("is_current"),
+        ["repo", "path"], "at_lsn", how="inner",
+    ).count()
+    tjv_dur = max(time.time() - t0, 1e-9)
     return {
         "temporal_join": {
             "facts": n_facts,
@@ -389,6 +397,11 @@ def _history_throughput(spark, events, workdir: str) -> dict:
             "store_versions": store_rows,
             "duration_sec": round(tj_dur, 2),
             "facts_per_sec": round(n_facts / tj_dur, 1),
+            "via_materialized_view": {
+                "matched": matched_v,
+                "duration_sec": round(tjv_dur, 2),
+                "facts_per_sec": round(n_facts / tjv_dur, 1),
+            },
         },
         "versions_appended": res["rows_appended"],
         "apply_duration_sec": round(apply_dur, 2),
@@ -485,13 +498,19 @@ def stop_session(spark) -> None:
 
 
 def scale_run(cores: int) -> None:
-    """Subprocess entry: fresh JVM, SCALE_TRIALS identical replay trials on
-    the SAME pre-generated input; best trial reported. Early trials double as
-    JIT warmup — whole-stage-codegen C2 compilation needs several full passes
-    of the merge pipeline before the JVM reaches steady state (first-trial
-    wall is routinely 4-5x the steady-state wall), and best-of-K also rides
-    out multi-minute host-capacity swings on this shared VM."""
+    """Subprocess entry: fresh JVM, an explicit small JIT warmup replay,
+    then SCALE_TRIALS identical replay trials on the SAME pre-generated
+    input; best trial reported. Whole-stage-codegen C2 compilation needs
+    full passes of the merge pipeline before the JVM reaches steady state
+    (an unwarmed first trial runs 4-5x slow); the cheap warmup makes every
+    timed trial a steady-state sample instead of burning trial 1-2, and
+    best-of-K rides out multi-minute host-capacity swings on this VM."""
     spark = one_session(f"local[{cores}]", cores)
+    replay_throughput(
+        spark, BENCH_BASE_ROWS // 10, WARMUP_EVENTS,
+        os.path.join(WORKROOT, f"scale{cores}-warm"), n_buckets=64,
+        n_epochs=1, input_dir=os.path.join(WORKROOT, "warm-input"),
+    )
     trials = []
     for t in range(SCALE_TRIALS):
         res = replay_throughput(
