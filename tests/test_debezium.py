@@ -535,3 +535,60 @@ def test_dlq_redrive_recovers_healed_lines(spark, tmp_path):
         "--master", "local[4]", "redrive", "--dead-letter", dlq,
         "--sink", str(tmp_path / "t"), "--payload-wrapper",
     ])
+
+
+def test_dlq_redrive_after_compaction(spark, tmp_path):
+    """compact-quarantine folds DLQ dirs into a qcompact= dir; redrive
+    consumes the compacted layout the same way, and re-running after the
+    fold re-applies rows whose merge is a no-op under the LSN guard (the
+    dir digest changed, the rows didn't)."""
+    from embulk_filter_copy_spark.cdc.apply import compact_quarantine
+    from embulk_filter_copy_spark.cdc.replayer import redrive_dead_letters
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    cols = [("repo", "string"), ("path", "string"), ("content", "string")]
+    wrapped = [
+        json.dumps({"payload": {
+            "op": "c",
+            "after": {"repo": "r1", "path": "p", "content": "v1"},
+            "source": {"lsn": 1, "ts_ms": 1000}}}),
+        json.dumps({"payload": {
+            "op": "u",
+            "after": {"repo": "r1", "path": "p", "content": "v2"},
+            "source": {"lsn": 2, "ts_ms": 2000}}}),
+    ]
+    src = tmp_path / "wal"
+    src.mkdir()
+    # two WAL files -> two epochs -> two DLQ qpart dirs
+    (src / "a.jsonl").write_text(wrapped[0] + "\n")
+    (src / "b.jsonl").write_text(wrapped[1] + "\n")
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), cols, key_columns=["repo", "path"],
+        n_buckets=4,
+    )
+    dlq = str(tmp_path / "dlq")
+    from embulk_filter_copy_spark.cdc.replayer import replay_stream
+
+    replay_stream(
+        spark, str(src), str(tmp_path / "t"),
+        checkpoint=str(tmp_path / "ck"),
+        source_format="debezium-jsonl", dead_letter=dlq,
+        max_files_per_trigger=1,
+    )
+    assert table.read().count() == 0
+    compact_quarantine(spark, dlq, keep_recent=0)
+    assert sum(n.startswith("qcompact=") for n in os.listdir(dlq)) == 1
+
+    res = redrive_dead_letters(
+        spark, dlq, str(tmp_path / "t"), payload_wrapper=True
+    )
+    assert res["rows_applied"] >= 1 and res["still_dead"] == 0
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v2"
+
+    # re-redrive after ANOTHER compaction run (digest unchanged -> skip)
+    res2 = redrive_dead_letters(
+        spark, dlq, str(tmp_path / "t"), payload_wrapper=True
+    )
+    assert res2["dirs_skipped"] == 1 and res2["rows_applied"] == 0
+    assert table.read().collect()[0]["content"] == "v2"
