@@ -49,10 +49,11 @@ SCALE_BASE_ROWS = int(os.environ.get("EFC_SCALE_BASE_ROWS", "400000"))
 SCALE_LEVELS = tuple(
     int(x) for x in os.environ.get("EFC_SCALE_LEVELS", "2,8").split(",")
 )
-# 5 trials (was 4): a round-3 recording run's 8-core trials were still
-# climbing at trial 4 ([66k, 214k, 389k, 429k]) — one more trial per level
-# costs ~1 min and keeps best-of-K honest about steady state
-SCALE_TRIALS = int(os.environ.get("EFC_SCALE_TRIALS", "5"))
+# 4 steady-state trials: scale_run now runs an explicit JIT warmup replay
+# before timing (round 3's "still climbing at trial 4" was unwarmed C2),
+# so all K trials sample steady state — and a possible second window
+# attempt (EFC_SCALE_ATTEMPTS) must fit the bench's overall time budget
+SCALE_TRIALS = int(os.environ.get("EFC_SCALE_TRIALS", "4"))
 HEADLINE_TRIALS = int(os.environ.get("EFC_HEADLINE_TRIALS", "4"))
 # 8 trials (was 4): round 4's fan-out median breached the 2x gate on
 # uniformly-low trials; K=8 separates a real path regression from a
