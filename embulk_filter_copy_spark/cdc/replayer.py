@@ -426,7 +426,7 @@ def redrive_dead_letters(
     spark: SparkSession,
     dlq_path: str,
     sink: str,
-    keys: tuple[str, ...] = ("repo", "path"),
+    keys: tuple[str, ...] | None = None,
     payload_wrapper: bool = False,
     event_schema: T.StructType | str | None = None,
     dedup: str = "plain",
@@ -454,6 +454,10 @@ def redrive_dead_letters(
     from embulk_filter_copy_spark.sources.debezium import parse_debezium
 
     table = LakeTable.load(spark, sink)
+    if keys is None:
+        # the sink table knows its own keys — a hand-typed default that
+        # disagreed with them would null-key-flag every patch event
+        keys = tuple(table.key_columns)
     envelope = {"lsn", "ts", "op", "schema_change"}
     if event_schema is not None:
         struct = (

@@ -172,7 +172,7 @@ def cmd_redrive(args) -> None:
         spark,
         args.dead_letter,
         args.sink,
-        keys=tuple(args.keys.split(",")),
+        keys=tuple(args.keys.split(",")) if args.keys else None,
         payload_wrapper=args.payload_wrapper,
         dedup=args.dedup,
         merge_mode=args.merge_mode,
@@ -285,7 +285,8 @@ def main(argv: list[str] | None = None) -> None:
                         help="re-parse dead letters and apply the survivors")
     rd.add_argument("--dead-letter", required=True, help="DLQ root to redrive")
     rd.add_argument("--sink", required=True, help="sink table path")
-    rd.add_argument("--keys", default="repo,path")
+    rd.add_argument("--keys", default=None,
+                    help="override key columns (default: the sink table's)")
     rd.add_argument("--payload-wrapper", action="store_true",
                     help="parse with the Connect {schema, payload} framing "
                          "(e.g. when its absence was what dead-lettered them)")

@@ -225,3 +225,29 @@ def test_filter_and_derived_column_transforms(spark, tmpdir_path):
     # envelope + keys survive any projection
     for c in ("lsn", "ts", "op", "repo", "path"):
         assert c in out.columns
+
+
+def test_transforms_carry_patch_merge_info(spark):
+    """Patch-mode merge info (_img_lsn/_del_lsn/_pl_*) must survive
+    select/drop as machinery, follow a payload column through rename, and
+    leave with its column on drop/projection — otherwise a transformed
+    sink would silently lose the per-piece stale-duplicate guards."""
+    from embulk_filter_copy_spark.cdc.splitter import apply_transforms
+
+    df = spark.createDataFrame(
+        [("k", 1, "P", "va", "vb", 1, None, 1, None)],
+        "k string, lsn long, op string, a string, b string,"
+        " _pl_a long, _pl_b long, _img_lsn long, _del_lsn long",
+    )
+    sel = apply_transforms(df, (("select", ["a"]),), keys=("k",))
+    assert "a" in sel.columns and "_pl_a" in sel.columns
+    assert "b" not in sel.columns and "_pl_b" not in sel.columns
+    assert {"_img_lsn", "_del_lsn"} <= set(sel.columns)
+
+    dropped = apply_transforms(df, (("drop", ["b"]),), keys=("k",))
+    assert "b" not in dropped.columns and "_pl_b" not in dropped.columns
+    assert "_pl_a" in dropped.columns
+
+    ren = apply_transforms(df, (("rename", "a", "alpha"),), keys=("k",))
+    assert "alpha" in ren.columns and "_pl_alpha" in ren.columns
+    assert "a" not in ren.columns and "_pl_a" not in ren.columns
