@@ -628,3 +628,78 @@ def test_compact_quarantine_protects_whole_inflight_epoch_group(spark, tmpdir_pa
     res4 = compact_quarantine(spark, q, keep_recent=1, protect_age=0.0)
     assert sum(n.startswith("qpart=") for n in os.listdir(q)) == 0
     assert read_quarantine(spark, q).count() == total + 2 + 4
+
+
+# --- property: compaction preserves the quarantine row set ----------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def quarantine_op_sequences(draw):
+    """Contract-respecting op sequences: per-run epochs open in order, only
+    a run's LATEST epoch may be re-written (the resume shape), and
+    compactions keep >= 1 recent group per run."""
+    ops = []
+    next_epoch = {"A": 0, "B": 0}
+    n = draw(st.integers(2, 8))
+    for _ in range(n):
+        kind = draw(st.sampled_from(["write", "write", "write", "rewrite", "compact"]))
+        run = draw(st.sampled_from(["A", "B"]))
+        if kind == "write":
+            sinks = draw(st.sets(st.sampled_from(["s1", "s2"]), min_size=1, max_size=2))
+            ops.append(("write", run, next_epoch[run], sorted(sinks)))
+            next_epoch[run] += 1
+        elif kind == "rewrite" and next_epoch[run] > 0:
+            e = next_epoch[run] - 1
+            written = [o for o in ops if o[0] == "write" and o[1] == run and o[2] == e]
+            if written:
+                ops.append(("rewrite", run, e, written[0][3]))
+        else:
+            ops.append(("compact", draw(st.integers(1, 2))))
+    return ops
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(quarantine_op_sequences())
+def test_property_compaction_preserves_rows(spark, ops):
+    """No interleaving of epoch writes, resume re-writes, and compactions
+    may lose or duplicate a quarantined row — the invariant behind both
+    round-4 and round-5 review findings on this component."""
+    import shutil
+    import tempfile
+
+    from embulk_filter_copy_spark.cdc.apply import (
+        compact_quarantine,
+        read_quarantine,
+        write_quarantine,
+    )
+
+    q = tempfile.mkdtemp(prefix="efc-quarprop-")
+    try:
+        expected: set = set()
+
+        def rows_for(run, epoch, sink):
+            return [(f"{run}-{epoch}-{sink}-{i}",) for i in range(3)]
+
+        for op in ops:
+            if op[0] in ("write", "rewrite"):
+                _, run, epoch, sinks = op
+                for s in sinks:
+                    rows = rows_for(run, epoch, s)
+                    write_quarantine(
+                        spark.createDataFrame(rows, "marker string"),
+                        q, run, epoch, s,
+                    )
+                    expected.update(r[0] for r in rows)
+            else:
+                compact_quarantine(spark, q, keep_recent=op[1])
+        got = sorted(r["marker"] for r in read_quarantine(spark, q).collect())
+        assert got == sorted(expected), (ops, got, sorted(expected))
+    finally:
+        shutil.rmtree(q, ignore_errors=True)
