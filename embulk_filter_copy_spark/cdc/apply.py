@@ -68,7 +68,19 @@ def read_quarantine(spark, qpath: str) -> DataFrame:
     layout, a pre-upgrade flat-append layout, or a mix of both (partition
     discovery would raise 'conflicting directory structures' on the mix);
     it disables partition-column inference, so the synthetic ``qpart``
-    column never materializes (the drop is a compatibility no-op)."""
+    column never materializes (the drop is a compatibility no-op).
+
+    An empty or missing quarantine root (a healthy pipeline, or one whose
+    compactions all folded away) returns an empty zero-column frame instead
+    of failing schema inference — inspection and redrive on a clean stream
+    must be a no-op, not a crash."""
+    has_files = os.path.isdir(qpath) and any(
+        f.endswith(".parquet") for _, _, files in os.walk(qpath) for f in files
+    )
+    if not has_files:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType([]))
     return (
         spark.read.option("recursiveFileLookup", "true").parquet(qpath).drop("qpart")
     )
