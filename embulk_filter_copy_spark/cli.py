@@ -179,6 +179,27 @@ def cmd_redrive(args) -> None:
     )))
 
 
+def cmd_rollback(args) -> None:
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    print(json.dumps(t.rollback(args.to_version)))
+
+
+def cmd_changelog(args) -> None:
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    df = t.changelog(args.since_version)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count(), "out": args.out}))
+    else:
+        df.show(args.limit, truncate=False)
+
+
 def cmd_rescale(args) -> None:
     from embulk_filter_copy_spark.lake.table import LakeTable
 
@@ -303,6 +324,25 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=10)
 
+    rb = sub.add_parser(
+        "rollback",
+        help="roll the table back to an earlier snapshot (non-destructive; "
+        "restores the commit registry so the undone WAL range re-applies)",
+    )
+    rb.set_defaults(func=cmd_rollback)
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to-version", type=int, required=True)
+
+    cl = sub.add_parser(
+        "changelog",
+        help="pre/post-image changelog (I/U/D) since a snapshot version",
+    )
+    cl.set_defaults(func=cmd_changelog)
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--since-version", type=int, required=True)
+    cl.add_argument("--out", help="write the changelog as parquet (else print)")
+    cl.add_argument("--limit", type=int, default=20)
+
     ch = sub.add_parser("changes", help="emit the net change feed since a snapshot version")
     ch.add_argument("--table", required=True)
     ch.add_argument("--since-version", type=int, required=True)
@@ -327,6 +367,8 @@ def main(argv: list[str] | None = None) -> None:
         "compact-quarantine": cmd_compact_quarantine,
         "redrive": cmd_redrive,
         "rescale": cmd_rescale,
+        "rollback": cmd_rollback,
+        "changelog": cmd_changelog,
         "expire": cmd_expire,
         "changes": cmd_changes,
         "history": cmd_history,

@@ -313,7 +313,7 @@ class LakeTable:
             default=None,
         )
 
-    def read_changes(self, since_version: int) -> DataFrame:
+    def read_changes(self, since_version: int, version: int | None = None) -> DataFrame:
         """Incremental change scan: the net per-key changes committed AFTER
         ``since_version`` — the table acting as a CDC *source* (the lake
         analogue of an Iceberg incremental snapshot scan, SURVEY.md §2.1),
@@ -342,8 +342,9 @@ class LakeTable:
         # pin ONE version for the manifest diff, the scan AND the output
         # projection — a concurrent commit (data or schema) between reads
         # must not silently drop rows or reference columns the pinned scan
-        # lacks
-        cur_version = self.current_version()
+        # lacks. Callers that compose multiple reads (``changelog``) pass
+        # ``version`` so every read shares one pin.
+        cur_version = self.current_version() if version is None else int(version)
         cur_snap = self.snapshot_at(cur_version)
         old = self.snapshot_at(since_version)
         old_paths = {f["path"] for f in old["files"]}
@@ -360,6 +361,26 @@ class LakeTable:
             if f["path"] not in old_paths
             and (f.get("lsn_max") is None or f["lsn_max"] > wm_prune)
         ]
+        # a rollback between the snapshots REWOUND state the consumer has
+        # already seen — net-change semantics cannot represent un-happening,
+        # so raise (the latest crossing rollback's marker is always present:
+        # markers are only removed by a rollback to an even earlier version,
+        # which leaves its own, later marker). Checked BEFORE the purge
+        # guard below, whose commit-suffix slice assumes the commit list is
+        # append-only — exactly what a rollback's truncation breaks.
+        rb = [
+            c
+            for c in cur_snap["commits"]
+            if c.get("kind") == "rollback"
+            and c.get("at_version", 0) > since_version
+        ]
+        if rb:
+            raise ValueError(
+                f"read_changes(since_version={since_version}): the table was "
+                f"rolled back to version {rb[-1]['rollback_to']} at version "
+                f"{rb[-1]['at_version']}; a net change feed cannot represent "
+                "rewound state. Re-sync from the rolled-back version."
+            )
         # a tombstone-purging compaction between the snapshots has DROPPED
         # delete markers this feed would otherwise emit as 'D' events —
         # surfacing silently-lossy feeds as an error beats returning one
@@ -403,6 +424,92 @@ class LakeTable:
             op.alias("op"),
             *[F.col(c) for c in cols],
             F.lit(None).cast("string").alias("schema_change"),
+        )
+
+    def changelog(self, since_version: int) -> DataFrame:
+        """Pre/post-image changelog between a past snapshot and now — the
+        Iceberg ``create_changelog_view`` analogue, built entirely from the
+        net change feed plus a bucket-pruned before-image scan.
+
+        One row per net-changed key: the key columns, ``op`` ('I' insert /
+        'U' update / 'D' delete — classified against the key's visibility
+        at ``since_version``), the change ``lsn``, and ``before_<col>`` /
+        ``after_<col>`` images of every non-key column. Inserts carry NULL
+        before-images, deletes NULL after-images; keys that were created
+        AND deleted inside the window never became visible and are omitted.
+
+        Scale shape: the after side is ``read_changes`` (manifest-diff +
+        LSN pruned), the before side reads ONLY the buckets the diff
+        touched at the old version, and the two meet in one equi-join on
+        the key columns — cost ∝ changed data, never table size. Both
+        sides are projected to the CURRENT schema by field id, so renames
+        and widenings between the two versions don't fork column names.
+        """
+        cur_version = self.current_version()
+        cur_snap = self.snapshot_at(cur_version)
+        changes = self.read_changes(since_version, version=cur_version)
+        old_snap = self.snapshot_at(since_version)
+        # same manifest diff read_changes prunes with: buckets untouched
+        # since the old snapshot cannot hold a changed key's before-image
+        wm = self.high_lsn(since_version)
+        old_paths = {f["path"] for f in old_snap["files"]}
+        bset = sorted(
+            {
+                f["bucket"]
+                for f in cur_snap["files"]
+                if f["path"] not in old_paths
+                and (f.get("lsn_max") is None or f["lsn_max"] > wm)
+            }
+        )
+        before = self.read(buckets=bset, version=since_version)
+        cur_schema = TableSchema.from_json(
+            cur_snap["schemas"][str(cur_snap["schema_version"])]
+        )
+        old_schema = TableSchema.from_json(
+            old_snap["schemas"][str(old_snap["schema_version"])]
+        )
+        proj = []
+        for cf in cur_schema.fields:
+            of = old_schema.field_by_id(cf.id)
+            if of is None:
+                proj.append(F.lit(None).cast(spark_type(cf.type)).alias(cf.name))
+            else:
+                proj.append(F.col(of.name).cast(spark_type(cf.type)).alias(cf.name))
+        before = before.select(*proj)
+        keys = list(cur_snap["key_columns"])
+        payload = [f for f in cur_schema.fields if f.name not in keys]
+        b = before.select(
+            *keys,
+            *[F.col(f.name).alias(f"before_{f.name}") for f in payload],
+            F.lit(True).alias("_had_before"),
+        )
+        a = changes.select(
+            *keys,
+            F.col("lsn"),
+            F.col("op"),
+            *[F.col(f.name).alias(f"after_{f.name}") for f in payload],
+        )
+        j = a.join(b, on=keys, how="left")
+        had = F.coalesce(F.col("_had_before"), F.lit(False))
+        # a delete of a never-visible key is not an observable change
+        j = j.filter(~((F.col("op") == "D") & ~had))
+        return j.select(
+            *keys,
+            F.when(F.col("op") == "D", F.lit("D"))
+            .when(had, F.lit("U"))
+            .otherwise(F.lit("I"))
+            .alias("op"),
+            F.col("lsn"),
+            *[F.col(f"before_{f.name}") for f in payload],
+            *[
+                F.when(
+                    F.col("op") == "D",
+                    F.lit(None).cast(spark_type(f.type)),
+                )
+                .otherwise(F.col(f"after_{f.name}"))
+                .alias(f"after_{f.name}")
+                for f in payload
+            ],
         )
 
     # ------------------------------------------------------------------
@@ -795,6 +902,62 @@ class LakeTable:
             "files_deleted": deleted,
             "orphans_swept": swept,
             "horizon": horizon,
+        }
+
+    def rollback(self, to_version: int) -> dict:
+        """Non-destructive rollback (the Iceberg ``rollback_to_snapshot``
+        analogue): commit a NEW snapshot whose data state — file list,
+        schema pointer, schema map, bucket layout — equals the target
+        version's, leaving every intermediate snapshot intact for time
+        travel and audit. No data file is touched; files added after the
+        target stay on disk (still referenced by the pre-rollback
+        snapshots) until ``expire_snapshots`` ages them out.
+
+        The commit-manifest list is RESTORED to the target's list plus one
+        ``kind='rollback'`` marker. The manifests are both the exactly-once
+        registry and the LSN high-water mark, so keeping post-target
+        manifests would make a resumed replay SKIP the very epochs the
+        rollback undid (``has_commit`` hits, ``high_lsn`` stays high —
+        permanent data loss); truncating them re-opens those (run, epoch)
+        slots and regresses the watermark, so the corrected WAL range
+        re-applies through the normal idempotent path.
+
+        Consequence for change-feed consumers, enforced in
+        ``read_changes``: a feed whose ``since_version`` predates a
+        rollback raises — net-change semantics cannot represent
+        un-happening (rows the consumer already saw are not deletes, they
+        never happened). Consumers re-sync from the rolled-back state, the
+        same contract as tombstone purges and snapshot expiration.
+        """
+        cur = self.current_version()
+        if not 1 <= to_version < cur:
+            raise ValueError(
+                f"rollback target must be an earlier version: "
+                f"to_version={to_version}, current={cur}"
+            )
+        target = self.snapshot_at(to_version)  # raises if expired
+        snap = self._next_snapshot()
+        for k in ("files", "schema_version", "schemas", "schema_lsn",
+                  "n_buckets", "key_columns"):
+            snap[k] = target[k]
+        snap["bucket_columns"] = (
+            target.get("bucket_columns") or target["key_columns"]
+        )
+        snap["commits"] = list(target["commits"]) + [
+            {
+                "kind": "rollback",
+                "rollback_to": int(to_version),
+                "rolled_back_from": cur,
+                "at_version": snap["version"],
+                "committed_at": time.time(),
+            }
+        ]
+        self._write_snapshot(snap)
+        return {
+            "rolled_back_to": int(to_version),
+            "rolled_back_from": cur,
+            "new_version": snap["version"],
+            "high_lsn": self.high_lsn(),
         }
 
     # ------------------------------------------------------------------

@@ -31,6 +31,8 @@ for m in (CDC_QUERIES, TPCH_QUERIES, PIPELINE_QUERIES):
 # re-enter the window now. The 27 unlisted mid-catalog queries keep their
 # round-4 window slots.
 _PRIORITY = [
+    "cdc_changelog_images",
+    "cdc_rollback_replay",
     "cdc_patch_replay_dups",
     "text_quality_rules",
     "text_fingerprint_stats",

@@ -778,8 +778,142 @@ FROM f LEFT JOIN h
 """
 
 
+# ---------------------------------------------------------------------------
+def cdc_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre/post-image changelog through the REAL snapshot machinery (the
+    Iceberg create_changelog_view analogue, `LakeTable.changelog`): replay
+    the first half of the event log (op='D' where event_id%7==0, else
+    upsert), pin that snapshot, replay the second half, then read the
+    changelog between the two — one row per net-changed key with op I/U/D,
+    the change lsn, and before_/after_ images. Oracle: state-at-cut vs
+    final-LWW full comparison in SQL."""
+    from embulk_filter_copy_spark.cdc.replayer import replay_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        "value",
+        "props",
+        F.lit(None).cast("string").alias("schema_change"),
+    )
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    mid = (lo + hi) // 2
+    root = tempfile.mkdtemp(prefix="efc-clog-q-")
+    table = LakeTable.create(
+        spark,
+        f"{root}/t",
+        [("user_id", "long"), ("event_type", "string"), ("value", "double"), ("props", "string")],
+        key_columns=["user_id"],
+        n_buckets=16,
+    )
+    replay_batch(spark, ev.filter(F.col("lsn") <= mid), table, run_id="q-clog-1", n_epochs=2)
+    v_cut = table.current_version()
+    replay_batch(spark, ev.filter(F.col("lsn") > mid), table, run_id="q-clog-2", n_epochs=2)
+    log = table.changelog(v_cut)
+    return log.select(
+        "user_id",
+        "op",
+        "lsn",
+        "before_event_type",
+        "after_event_type",
+        F.round("before_value", 6).alias("before_value"),
+        F.round("after_value", 6).alias("after_value"),
+        "before_props",
+        "after_props",
+    )
+
+
+CDC_CHANGELOG_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id AS lsn, event_type, value, props,
+         CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+cutv AS (
+  SELECT CAST(floor((min(lsn) + max(lsn)) / 2.0) AS BIGINT) AS c FROM ev
+),
+before_img AS (   -- keys VISIBLE at the cut, with their image
+  SELECT user_id, event_type, value, props FROM (
+    SELECT user_id, event_type, value, props, op,
+           row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+    FROM ev WHERE lsn <= (SELECT c FROM cutv)
+  ) WHERE rn = 1 AND op = 'U'
+),
+final AS (        -- LWW over the whole log
+  SELECT user_id, lsn, op, event_type, value, props FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+chg AS (SELECT * FROM final WHERE lsn > (SELECT c FROM cutv))
+SELECT c.user_id,
+       CASE WHEN c.op = 'D' THEN 'D'
+            WHEN b.user_id IS NOT NULL THEN 'U' ELSE 'I' END AS op,
+       c.lsn,
+       b.event_type AS before_event_type,
+       CASE WHEN c.op = 'D' THEN NULL ELSE c.event_type END AS after_event_type,
+       round(b.value, 6) AS before_value,
+       CASE WHEN c.op = 'D' THEN NULL ELSE round(c.value, 6) END AS after_value,
+       b.props AS before_props,
+       CASE WHEN c.op = 'D' THEN NULL ELSE c.props END AS after_props
+FROM chg c LEFT JOIN before_img b USING (user_id)
+WHERE NOT (c.op = 'D' AND b.user_id IS NULL)
+"""
+
+
+# ---------------------------------------------------------------------------
+def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-epoch recovery through `LakeTable.rollback`: replay the first
+    half of the log, apply the second half with CORRUPTED payloads, roll
+    the table back to the pre-poison snapshot (which re-opens the undone
+    epoch's exactly-once slot and regresses the LSN watermark), re-apply
+    the CORRECT second half under the same run/epoch, and read the final
+    state. Oracle: plain LWW over the clean log — a correct rollback
+    leaves no trace of the poison epoch."""
+    from embulk_filter_copy_spark.cdc.replayer import replay_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("U"))
+        .withColumnRenamed("event_id", "lsn")
+        .withColumn("schema_change", F.lit(None).cast("string"))
+    )
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    mid = (lo + hi) // 2
+    e1 = ev.filter(F.col("lsn") <= mid)
+    e2 = ev.filter(F.col("lsn") > mid)
+    root = tempfile.mkdtemp(prefix="efc-rollback-q-")
+    table = LakeTable.create(
+        spark,
+        f"{root}/t",
+        [("user_id", "long"), ("event_type", "string"), ("value", "double"), ("props", "string")],
+        key_columns=["user_id"],
+        n_buckets=16,
+    )
+    replay_batch(spark, e1, table, run_id="q-rb-1", n_epochs=2)
+    v_good = table.current_version()
+    poison = e2.withColumn("event_type", F.lit("POISON")).withColumn(
+        "value", F.col("value") * F.lit(-1000.0)
+    )
+    replay_batch(spark, poison, table, run_id="q-rb-2", n_epochs=1)
+    table.rollback(v_good)
+    replay_batch(spark, e2, table, run_id="q-rb-2", n_epochs=1)
+    return table.read().select(
+        "user_id", "event_type", F.round("value", 6).alias("value"), "props"
+    )
+
+
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
+    "cdc_changelog_images": (cdc_changelog_images, CDC_CHANGELOG_SQL),
+    "cdc_rollback_replay": (cdc_rollback_replay, CDC_REPLAY_SQL),
     "cdc_patch_fold": (cdc_patch_fold, CDC_PATCH_FOLD_SQL),
     "cdc_patch_replay_dups": (cdc_patch_replay_dups, CDC_PATCH_REPLAY_DUPS_SQL),
     "cdc_temporal_join": (cdc_temporal_join, _temporal_join_sql()),

@@ -204,3 +204,182 @@ def test_manifest_lsn_stats_prune_compaction_rewrites(spark, tmpdir_path):
     # and the feed from before the second append is still exact
     rows = {r["k"]: r["op"] for r in t.read_changes(since_version=v_applied).collect()}
     assert rows == {3: "U"}
+
+
+# ---------------------------------------------------------------------------
+# rollback: non-destructive undo that re-opens the undone epochs
+# ---------------------------------------------------------------------------
+def test_rollback_restores_state_and_reopens_epochs(spark, tmpdir_path):
+    t = _bootstrap(spark, os.path.join(tmpdir_path, "rb"))
+    ev = gen_change_events(spark, 100, 400, seed=7).cache()
+    good = ev.filter(F.col("lsn") <= 200)
+    bad = ev.filter(F.col("lsn") > 200)
+
+    apply_batch(t, good, run_id="rb", epoch=0)
+    v_good = t.current_version()
+    state_good = sorted(tuple(r) for r in t.read().collect())
+    hwm_good = t.high_lsn()
+
+    apply_batch(t, bad, run_id="rb", epoch=1)
+    state_bad = sorted(tuple(r) for r in t.read().collect())
+    assert state_bad != state_good
+
+    res = t.rollback(v_good)
+    assert res["rolled_back_to"] == v_good
+    # data state equals the target version's, via a NEW snapshot
+    assert sorted(tuple(r) for r in t.read().collect()) == state_good
+    assert t.current_version() > v_good
+    # time travel to the undone state still works (nothing destroyed)
+    assert sorted(tuple(r) for r in t.read(version=res["rolled_back_from"]).collect()) == state_bad
+    # the exactly-once registry re-opened the undone epoch and kept the good
+    # one (single-merge epochs commit under the epoch-done seq)
+    from embulk_filter_copy_spark.cdc.apply import EPOCH_DONE_SEQ
+
+    assert t.has_commit("rb", 0, EPOCH_DONE_SEQ)
+    assert not t.has_commit("rb", 1, EPOCH_DONE_SEQ)
+    # the LSN watermark regressed with it
+    assert t.high_lsn() == hwm_good
+
+    # replaying the (now corrected) epoch through the normal idempotent path
+    # converges back: final state equals the never-rolled-back state
+    apply_batch(t, bad, run_id="rb", epoch=1)
+    assert sorted(tuple(r) for r in t.read().collect()) == state_bad
+    ev.unpersist()
+
+
+def test_rollback_rejects_non_earlier_versions(spark, tmpdir_path):
+    import pytest
+
+    t = _bootstrap(spark, os.path.join(tmpdir_path, "rbv"))
+    cur = t.current_version()
+    for bad in (cur, cur + 5, 0, -1):
+        with pytest.raises(ValueError, match="earlier version"):
+            t.rollback(bad)
+
+
+def test_rollback_restores_schema_pointer(spark, tmpdir_path):
+    t = _bootstrap(spark, os.path.join(tmpdir_path, "rbs"))
+    v0 = t.current_version()
+    t.update_schema({"action": "add", "column": "stars", "type": "long"}, schema_lsn=50)
+    assert "stars" in [f.name for f in t.schema.fields]
+
+    t.rollback(v0)
+    assert "stars" not in [f.name for f in t.schema.fields]
+    # schema evolution continues cleanly after the rollback (no collision
+    # with the rolled-back schema version)
+    assert t.update_schema({"action": "add", "column": "forks", "type": "long"}, schema_lsn=60)
+    cols = [f.name for f in t.schema.fields]
+    assert "forks" in cols and "stars" not in cols
+    assert t.read().count() == 100
+
+
+def test_read_changes_refuses_to_cross_rollback(spark, tmpdir_path):
+    import pytest
+
+    t = _bootstrap(spark, os.path.join(tmpdir_path, "rbc"))
+    v0 = t.current_version()
+    ev = gen_change_events(spark, 100, 200, seed=9)
+    apply_batch(t, ev, run_id="rbc", epoch=0)
+    v1 = t.current_version()
+    t.rollback(v0)
+    v_rb = t.current_version()
+
+    # a feed whose since predates the rollback would hand the consumer
+    # already-seen state as fresh changes — refuse
+    for since in (v0, v1):
+        with pytest.raises(ValueError, match="rolled back"):
+            t.read_changes(since).count()
+    # from the rollback point forward the feed is exact again
+    assert t.read_changes(v_rb).count() == 0
+    apply_batch(t, ev.filter(F.col("lsn") <= 50), run_id="rbc2", epoch=0)
+    assert t.read_changes(v_rb).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# changelog: pre/post-image view over the net change feed
+# ---------------------------------------------------------------------------
+def _ev_rows(spark, rows):
+    """rows: (lsn, op, repo, path, content)"""
+    import datetime
+
+    data = [
+        (
+            lsn,
+            datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=lsn),
+            op,
+            repo,
+            path,
+            f"c{lsn}",
+            "py",
+            content,
+            None,
+        )
+        for (lsn, op, repo, path, content) in rows
+    ]
+    return spark.createDataFrame(data, EVENT_DDL)
+
+
+def test_changelog_classifies_and_carries_images(spark, tmpdir_path):
+    t = _bootstrap(spark, os.path.join(tmpdir_path, "clog"), n_base=20)
+    base = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    (ka, kb) = sorted(base)[:2]
+    v_since = t.current_version()
+
+    apply_batch(
+        t,
+        _ev_rows(
+            spark,
+            [
+                (101, "U", ka[0], ka[1], "updated-a"),       # U: existing key
+                (102, "D", kb[0], kb[1], None),               # D: existing key
+                (103, "I", "new/repo", "c.py", "created-c"),  # I: new key
+                (104, "I", "new/repo", "d.py", "ephemeral"),  # I+D inside the
+                (105, "D", "new/repo", "d.py", None),         #   window: omitted
+                (106, "I", "new/repo", "e.py", "created-e1"),
+                (107, "U", "new/repo", "e.py", "created-e2"), # I then U: one 'I'
+            ],
+        ),
+        run_id="clog",
+        epoch=0,
+    )
+    log = {
+        (r["repo"], r["path"]): r
+        for r in t.changelog(v_since).collect()
+    }
+    assert set(log) == {ka, kb, ("new/repo", "c.py"), ("new/repo", "e.py")}
+    assert log[ka]["op"] == "U"
+    assert log[ka]["before_content"] == base[ka]
+    assert log[ka]["after_content"] == "updated-a"
+    assert log[ka]["lsn"] == 101
+    assert log[kb]["op"] == "D"
+    assert log[kb]["before_content"] == base[kb]
+    assert log[kb]["after_content"] is None
+    c = log[("new/repo", "c.py")]
+    assert c["op"] == "I" and c["before_content"] is None and c["after_content"] == "created-c"
+    e = log[("new/repo", "e.py")]
+    # net feed: created-then-updated inside the window is ONE insert at the
+    # final image and the final lsn
+    assert e["op"] == "I" and e["after_content"] == "created-e2" and e["lsn"] == 107
+
+
+def test_changelog_spans_schema_evolution(spark, tmpdir_path):
+    t = _bootstrap(spark, os.path.join(tmpdir_path, "clogs"), n_base=10)
+    ka = sorted((r["repo"], r["path"]) for r in t.read().collect())[0]
+    v_since = t.current_version()
+    # rename an existing column between the two versions: the changelog must
+    # come out uniformly in TODAY's names (field-id projection of the old scan)
+    t.update_schema({"action": "rename", "from": "content", "to": "body"}, schema_lsn=90)
+    apply_batch(
+        t,
+        _ev_rows(spark, [(201, "U", ka[0], ka[1], "post-rename")]).withColumnRenamed(
+            "content", "body"
+        ),
+        run_id="clogs",
+        epoch=0,
+    )
+    rows = t.changelog(v_since).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert "before_body" in r.asDict() and "after_body" in r.asDict()
+    assert r["op"] == "U" and r["after_body"] == "post-rename"
+    assert r["before_body"] is not None  # the old column's value, new name
