@@ -32,6 +32,7 @@ for m in (CDC_QUERIES, TPCH_QUERIES, PIPELINE_QUERIES):
 # round-4 window slots.
 _PRIORITY = [
     "cdc_changelog_images",
+    "cdc_incremental_agg",
     "cdc_rollback_replay",
     "cdc_patch_replay_dups",
     "text_quality_rules",

@@ -868,6 +868,70 @@ WHERE NOT (c.op = 'D' AND b.user_id IS NULL)
 
 
 # ---------------------------------------------------------------------------
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained aggregate view (`cdc.aggview`): replay the first
+    half of the log (op='D' where event_id%7==0) into a LakeTable, FULL-build
+    a per-event_type count/sum view, replay the second half, then refresh
+    the view INCREMENTALLY from the table's changelog (insert/delete/update
+    and group-moving-update delta algebra — no fact rescan). Oracle: plain
+    GROUP BY over the LWW-final live rows — the incremental path must land
+    on the recompute answer."""
+    from embulk_filter_copy_spark.cdc.aggview import build_agg_view, read_agg_view, refresh_agg_view
+    from embulk_filter_copy_spark.cdc.replayer import replay_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "event_type",
+        "value",
+        F.lit(None).cast("string").alias("schema_change"),
+    )
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    mid = (lo + hi) // 2
+    root = tempfile.mkdtemp(prefix="efc-aggview-q-")
+    table = LakeTable.create(
+        spark,
+        f"{root}/t",
+        [("user_id", "long"), ("event_type", "string"), ("value", "double")],
+        key_columns=["user_id"],
+        n_buckets=16,
+    )
+    replay_batch(spark, ev.filter(F.col("lsn") <= mid), table, run_id="q-av-1", n_epochs=2)
+    build_agg_view(spark, table, f"{root}/view", group_cols=["event_type"], sum_cols=["value"])
+    replay_batch(spark, ev.filter(F.col("lsn") > mid), table, run_id="q-av-2", n_epochs=2)
+    res = refresh_agg_view(spark, table, f"{root}/view")
+    assert res["mode"] == "incremental", res  # the point of the query
+    return read_agg_view(spark, f"{root}/view").select(
+        "event_type",
+        "n_rows",
+        reps(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+CDC_INCREMENTAL_AGG_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id AS lsn, event_type, value,
+         CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+final AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+live AS (SELECT * FROM final WHERE op = 'U')
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {sql_reps('sum(coalesce(value, 0.0))', 2)} AS sum_value
+FROM live GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poison-epoch recovery through `LakeTable.rollback`: replay the first
     half of the log, apply the second half with CORRUPTED payloads, roll
@@ -914,6 +978,7 @@ QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
     "cdc_changelog_images": (cdc_changelog_images, CDC_CHANGELOG_SQL),
     "cdc_rollback_replay": (cdc_rollback_replay, CDC_REPLAY_SQL),
+    "cdc_incremental_agg": (cdc_incremental_agg, CDC_INCREMENTAL_AGG_SQL),
     "cdc_patch_fold": (cdc_patch_fold, CDC_PATCH_FOLD_SQL),
     "cdc_patch_replay_dups": (cdc_patch_replay_dups, CDC_PATCH_REPLAY_DUPS_SQL),
     "cdc_temporal_join": (cdc_temporal_join, _temporal_join_sql()),
