@@ -284,7 +284,47 @@ def maintenance_throughput(spark, n_base: int, n_events: int, workdir: str) -> d
     t0 = time.time()
     resc = dst.rescale_buckets(4 * CPUS)
     rescale_dur = max(time.time() - t0, 1e-9)
+
+    # round-5 additions: changelog read pressure + delta-maintained agg view.
+    # changelog = the feed plus a bucket-pruned before-image scan; its cost
+    # must track changed data, so it's benched over the same epoch the feed
+    # stage measured.
+    t0 = time.time()
+    clog_rows = src.changelog(feed_since).count()
+    clog_dur = max(time.time() - t0, 1e-9)
+
+    # agg view: FULL build over the sink, then a small delta epoch and an
+    # INCREMENTAL refresh — the speedup vs rebuild is the point (refresh
+    # cost ∝ changed rows + groups, never facts)
+    from embulk_filter_copy_spark.cdc.aggview import build_agg_view, refresh_agg_view
+
+    view_path = os.path.join(workdir, "aggview")
+    t0 = time.time()
+    build_agg_view(spark, dst, view_path, group_cols=["lang"], sum_cols=[])
+    av_build_dur = max(time.time() - t0, 1e-9)
+    hi_lsn = events.agg(F.max("lsn")).collect()[0][0]
+    av_delta = events.filter(
+        F.abs(F.xxhash64(F.lit("avdelta:"), "repo", "path")) % 4096 == 0
+    ).withColumn("lsn", F.col("lsn") + F.lit(hi_lsn))
+    n_av_delta = av_delta.count()
+    apply_batch(dst, av_delta, run_id="feed", epoch=1)
+    t0 = time.time()
+    av_res = refresh_agg_view(spark, dst, view_path)
+    av_refresh_dur = max(time.time() - t0, 1e-9)
+    assert av_res["mode"] == "incremental", av_res
+
     return {
+        "changelog": {
+            "rows": clog_rows,
+            "duration_sec": round(clog_dur, 2),
+            "rows_per_sec": round(clog_rows / clog_dur, 1),
+        },
+        "agg_view": {
+            "build_sec": round(av_build_dur, 2),
+            "delta_rows": n_av_delta,
+            "incremental_refresh_sec": round(av_refresh_dur, 2),
+            "refresh_speedup_vs_build": round(av_build_dur / av_refresh_dur, 2),
+        },
         "changes": {
             "rows_applied": res["rows_applied"],
             "duration_sec": round(feed_dur, 2),
@@ -703,6 +743,8 @@ def main() -> None:
                                 "median": fanout["median_sink_applies_per_sec"]},
         "refresh_rows_per_sec": maintenance["history"]["refresh"]["rows_rewritten_per_sec"],
         "temporal_join_facts_per_sec": maintenance["history"]["temporal_join"]["facts_per_sec"],
+        "changelog_rows_per_sec": maintenance["changelog"]["rows_per_sec"],
+        "agg_view_refresh_speedup": maintenance["agg_view"]["refresh_speedup_vs_build"],
         "scaling_efficiency": scaling["scaling_efficiency"] if scaling else None,
         "detail": "BENCH_OUT.json",
     }
