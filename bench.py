@@ -320,10 +320,13 @@ def maintenance_throughput(spark, n_base: int, n_events: int, workdir: str) -> d
             "rows_per_sec": round(clog_rows / clog_dur, 1),
         },
         "agg_view": {
+            # NOTE: refresh cost is ∝ (changelog rows + groups) by plan
+            # shape; at bench scale (a ~100k-row sink) the FULL build is
+            # also cheap, so wall-clock speedup only emerges as the fact
+            # table outgrows the delta — report both durations, not a ratio
             "build_sec": round(av_build_dur, 2),
             "delta_rows": n_av_delta,
             "incremental_refresh_sec": round(av_refresh_dur, 2),
-            "refresh_speedup_vs_build": round(av_build_dur / av_refresh_dur, 2),
         },
         "changes": {
             "rows_applied": res["rows_applied"],
@@ -744,7 +747,8 @@ def main() -> None:
         "refresh_rows_per_sec": maintenance["history"]["refresh"]["rows_rewritten_per_sec"],
         "temporal_join_facts_per_sec": maintenance["history"]["temporal_join"]["facts_per_sec"],
         "changelog_rows_per_sec": maintenance["changelog"]["rows_per_sec"],
-        "agg_view_refresh_speedup": maintenance["agg_view"]["refresh_speedup_vs_build"],
+        "agg_view_secs": {"build": maintenance["agg_view"]["build_sec"],
+                          "refresh": maintenance["agg_view"]["incremental_refresh_sec"]},
         "scaling_efficiency": scaling["scaling_efficiency"] if scaling else None,
         "detail": "BENCH_OUT.json",
     }

@@ -62,6 +62,7 @@ class FanoutApplier:
         merge_mode: str = "cow",
         max_sink_threads: int = 8,
         dead_letter: str | None = None,
+        audit_sql: str | None = None,
     ):
         self.spark = spark
         self.leaves = leaves
@@ -72,9 +73,20 @@ class FanoutApplier:
         self.quarantine = quarantine
         self.merge_mode = merge_mode
         self.dead_letter = dead_letter
+        self.audit_sql = audit_sql
         self.max_sink_threads = max_sink_threads
         self.results: list[dict] = []
         self._keys_match: bool | None = None
+        if audit_sql is not None:
+            # history sinks are append-only version stores; rolling one back
+            # per-epoch would also erase its sub-unit lineage records —
+            # reject at build time rather than half-undoing an epoch
+            bad = [l.name for l in leaves if l.mode == "history"]
+            if bad:
+                raise ValueError(
+                    f"audit_sql cannot gate history sinks {bad}: the "
+                    "write-audit-publish rollback applies to merge sinks"
+                )
         if dedup == "patch":
             # fail at stream-build time, not on epoch 1: (a) the shared-dedup
             # path would hand apply_batch dedup='skip' and bypass its own
@@ -111,6 +123,34 @@ class FanoutApplier:
                     "untouched columns are NULL until merge-time resolution "
                     "against the target"
                 )
+
+    def _audit_epoch(self, pre_versions: dict, epoch_id: int) -> None:
+        """Write-audit-publish for the streaming path: audit every merge
+        sink's POST-TRANSFORM epoch delta (temp view ``epoch_changes``)
+        sequentially; on the first violation roll EVERY sink that applied
+        this epoch back to its pre-epoch snapshot — the WAL range is bad
+        for all of them, and un-happening only the violating sink would
+        leave the fan-out inconsistent on resume (published siblings would
+        skip the poisoned epoch forever). The rollbacks re-open the
+        (run, epoch) exactly-once slots, so the corrected log resumes
+        through the untouched idempotent path."""
+        from embulk_filter_copy_spark.cdc.audit import AuditViolation
+
+        for leaf in self.leaves:
+            table = LakeTable.load(self.spark, leaf.path)
+            pre = pre_versions[leaf.path]
+            if table.current_version() == pre:
+                continue  # replayed already-published epoch: audited then
+            table.read_changes(pre).createOrReplaceTempView("epoch_changes")
+            bad = self.spark.sql(self.audit_sql)
+            sample = [r.asDict() for r in bad.limit(5).collect()]
+            if sample:
+                n = bad.count()
+                for l2 in self.leaves:
+                    t2 = LakeTable.load(self.spark, l2.path)
+                    if t2.current_version() > pre_versions[l2.path]:
+                        t2.rollback(pre_versions[l2.path])
+                raise AuditViolation(self.run_id, epoch_id, n, sample)
 
     # transform kinds that never add/drop/reorder ROWS — for these, LWW dedup
     # commutes with the per-sink chain, so the fan-out dedups ONCE and shares
@@ -228,6 +268,12 @@ class FanoutApplier:
             res["sink"] = leaf.name
             return res
 
+        pre_versions = None
+        if self.audit_sql is not None:
+            pre_versions = {
+                leaf.path: LakeTable.load(self.spark, leaf.path).current_version()
+                for leaf in self.leaves
+            }
         try:
             # materialize the cache once; also satisfies Spark 4.x's
             # state-store commit validation on replayed (all-skipped) epochs,
@@ -244,6 +290,8 @@ class FanoutApplier:
                     # gather in leaf order (deterministic results list);
                     # the first failure propagates and fails the epoch
                     self.results.extend(f.result() for f in futs)
+            if pre_versions is not None:
+                self._audit_epoch(pre_versions, int(epoch_id))
         finally:
             batch_df.unpersist()
             if dlq_cache is not None:
@@ -269,6 +317,7 @@ def replay_stream(
     payload_wrapper: bool = False,
     kafka_options: dict | None = None,
     dead_letter: str | None = None,
+    audit_sql: str | None = None,
 ) -> list[dict]:
     """Structured-Streaming replay of an event-log directory into N sinks.
 
@@ -284,6 +333,13 @@ def replay_stream(
     dropping malformed envelope lines, capture the raw bytes per epoch
     under this root via the idempotent quarantine-directory machinery —
     replayable, crash-safe, GC'd by ``compact-quarantine``.
+
+    ``audit_sql`` (write-audit-publish): SQL over the temp view
+    ``epoch_changes`` (each merge sink's post-transform epoch delta); any
+    returned row is a violation — the epoch is rolled back on EVERY sink
+    and the stream fails with :class:`cdc.audit.AuditViolation`. The
+    rollbacks re-open the exactly-once slots, so a corrected log resumes
+    cleanly from the same checkpoint. Merge sinks only.
     """
     if dead_letter is not None and source_format not in (
         "debezium-jsonl", "kafka",
@@ -300,6 +356,7 @@ def replay_stream(
     applier = FanoutApplier(
         spark, leaves, run_id, keys=keys, dedup=dedup, n_salts=n_salts,
         quarantine=quarantine, merge_mode=merge_mode, dead_letter=dead_letter,
+        audit_sql=audit_sql,
     )
 
     if fail_after_epoch is not None:

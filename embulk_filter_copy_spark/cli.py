@@ -77,6 +77,7 @@ def cmd_replay(args) -> None:
         payload_wrapper=args.payload_wrapper,
         dead_letter=args.dead_letter,
         kafka_options=dict(kv.split("=", 1) for kv in args.kafka_option) or None,
+        audit_sql=args.audit_sql,
     )
     print(json.dumps({"epochs": len(results), "rows_applied": sum(r.get("rows_applied", 0) for r in results)}))
 
@@ -275,6 +276,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="root for raw malformed envelope lines (envelope "
                         "sources: debezium-jsonl and kafka); GC'd by "
                         "compact-quarantine")
+    r.add_argument("--audit-sql", default=None,
+                   help="write-audit-publish gate: SQL over the temp view "
+                        "epoch_changes (each sink's epoch delta); returned "
+                        "rows = violations, the epoch rolls back on every "
+                        "sink and the stream fails")
     r.add_argument("--kafka-option", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="Kafka reader option (repeatable), e.g. "
