@@ -34,6 +34,7 @@ _PRIORITY = [
     "cdc_changelog_images",
     "cdc_incremental_agg",
     "cdc_rollback_replay",
+    "cdc_audit_gate",
     "cdc_patch_replay_dups",
     "text_quality_rules",
     "text_fingerprint_stats",

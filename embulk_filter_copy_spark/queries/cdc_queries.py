@@ -974,10 +974,55 @@ def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+def cdc_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish recovery (`cdc/audit.py`): replay the first half
+    of the log, attempt the second half with CORRUPTED payloads through the
+    audited apply — the gate must reject it and un-happen the epoch — then
+    re-apply the correct second half under the SAME (run, epoch) (the
+    rollback re-opened the slot). Oracle: plain LWW over the clean log —
+    the audited pipeline leaves no trace of the rejected epoch."""
+    from embulk_filter_copy_spark.cdc.audit import AuditViolation, apply_batch_audited
+    from embulk_filter_copy_spark.cdc.replayer import replay_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("U"))
+        .withColumnRenamed("event_id", "lsn")
+        .withColumn("schema_change", F.lit(None).cast("string"))
+    )
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    mid = (lo + hi) // 2
+    e1 = ev.filter(F.col("lsn") <= mid)
+    e2 = ev.filter(F.col("lsn") > mid)
+    root = tempfile.mkdtemp(prefix="efc-wap-q-")
+    table = LakeTable.create(
+        spark,
+        f"{root}/t",
+        [("user_id", "long"), ("event_type", "string"), ("value", "double"), ("props", "string")],
+        key_columns=["user_id"],
+        n_buckets=16,
+    )
+    audit = "SELECT * FROM epoch_changes WHERE op = 'U' AND event_type = 'POISON'"
+    apply_batch_audited(spark, table, e1, "q-wap", 0, audit)
+    poison = e2.withColumn("event_type", F.lit("POISON"))
+    try:
+        apply_batch_audited(spark, table, poison, "q-wap", 1, audit)
+        raise RuntimeError("audit gate failed to reject the poisoned epoch")
+    except AuditViolation:
+        pass
+    apply_batch_audited(spark, table, e2, "q-wap", 1, audit)
+    return table.read().select(
+        "user_id", "event_type", F.round("value", 6).alias("value"), "props"
+    )
+
+
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
     "cdc_changelog_images": (cdc_changelog_images, CDC_CHANGELOG_SQL),
     "cdc_rollback_replay": (cdc_rollback_replay, CDC_REPLAY_SQL),
+    "cdc_audit_gate": (cdc_audit_gate, CDC_REPLAY_SQL),
     "cdc_incremental_agg": (cdc_incremental_agg, CDC_INCREMENTAL_AGG_SQL),
     "cdc_patch_fold": (cdc_patch_fold, CDC_PATCH_FOLD_SQL),
     "cdc_patch_replay_dups": (cdc_patch_replay_dups, CDC_PATCH_REPLAY_DUPS_SQL),
