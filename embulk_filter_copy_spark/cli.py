@@ -201,6 +201,18 @@ def cmd_changelog(args) -> None:
         df.show(args.limit, truncate=False)
 
 
+def cmd_fsck(args) -> None:
+    from embulk_filter_copy_spark.lake.fsck import fsck
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    report = fsck(spark, t, deep=not args.metadata_only)
+    print(json.dumps(report))
+    if not report["ok"]:
+        sys.exit(3)
+
+
 def cmd_rescale(args) -> None:
     from embulk_filter_copy_spark.lake.table import LakeTable
 
@@ -330,6 +342,16 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=10)
 
+    fk = sub.add_parser(
+        "fsck",
+        help="audit table consistency: manifests vs data files, commit "
+        "registry, bucket placement, base-key uniqueness (exit 3 on issues)",
+    )
+    fk.set_defaults(func=cmd_fsck)
+    fk.add_argument("--table", required=True)
+    fk.add_argument("--metadata-only", action="store_true",
+                    help="skip the distributed data pass")
+
     rb = sub.add_parser(
         "rollback",
         help="roll the table back to an earlier snapshot (non-destructive; "
@@ -372,6 +394,7 @@ def main(argv: list[str] | None = None) -> None:
         "compact": cmd_compact,
         "compact-quarantine": cmd_compact_quarantine,
         "redrive": cmd_redrive,
+        "fsck": cmd_fsck,
         "rescale": cmd_rescale,
         "rollback": cmd_rollback,
         "changelog": cmd_changelog,

@@ -291,6 +291,32 @@ class LakeTable:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*META_NAMES)
         return df
 
+    def lookup(self, key_values: dict, version: int | None = None) -> DataFrame:
+        """Point lookup: manifest-prunes to the ONE hash bucket the key's
+        bucket columns select, then filters inside it — O(bucket) work no
+        matter the table size, the read-side payoff of hash-bucketed
+        layout. ``key_values`` must cover at least the bucket columns;
+        extra key columns tighten the filter. Equality-only (the bucket
+        function is a hash)."""
+        snap = self.snapshot() if version is None else self.snapshot_at(version)
+        bcols = snap.get("bucket_columns") or snap["key_columns"]
+        missing = [c for c in bcols if c not in key_values]
+        if missing:
+            raise ValueError(
+                f"lookup needs every bucket column; missing: {missing}"
+            )
+        one = self.spark.range(1).select(
+            F.pmod(
+                F.xxhash64(*[F.lit(key_values[c]) for c in bcols]),
+                F.lit(snap["n_buckets"]),
+            ).alias("b")
+        )
+        bucket = int(one.first()["b"])
+        df = self.read(buckets=[bucket], version=version)
+        for c, v in key_values.items():
+            df = df.filter(F.col(c) == F.lit(v))
+        return df
+
     def high_lsn(self, version: int | None = None) -> int:
         """Highest change LSN covered by a snapshot's commit manifests
         (a default bootstrap stamps ``_lsn=0``; ``--snapshot-lsn L`` stamps
