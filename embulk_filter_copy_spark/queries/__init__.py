@@ -35,6 +35,7 @@ _PRIORITY = [
     "cdc_incremental_agg",
     "cdc_rollback_replay",
     "cdc_audit_gate",
+    "cdc_shard_merge_replay",
     "cdc_patch_replay_dups",
     "text_quality_rules",
     "text_fingerprint_stats",

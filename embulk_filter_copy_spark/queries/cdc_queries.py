@@ -1018,11 +1018,51 @@ def cdc_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+def cdc_shard_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-WAL ingestion (`cdc/shards.py`): split the event log into 3
+    key-disjoint shards (user_id % 3), renumber each shard's LSNs densely
+    from 1 — three independent WAL domains, raw-union-incomparable on
+    purpose — then merge with the O(1) total-order restamp and replay in
+    epochs through the real merge path. Oracle: plain LWW over the
+    ORIGINAL unsharded log — the multiplexer must leave no trace."""
+    from embulk_filter_copy_spark.cdc.replayer import replay_batch
+    from embulk_filter_copy_spark.cdc.shards import merge_wal_shards
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("U"))
+        .withColumnRenamed("event_id", "lsn")
+        .withColumn("schema_change", F.lit(None).cast("string"))
+    )
+    shards = []
+    for i in range(3):
+        s = ev.filter(F.col("user_id") % 3 == i)
+        s = s.withColumn(
+            "lsn", F.row_number().over(W.orderBy("lsn")).cast("long")
+        )
+        shards.append(s)
+    root = tempfile.mkdtemp(prefix="efc-shards-q-")
+    table = LakeTable.create(
+        spark,
+        f"{root}/t",
+        [("user_id", "long"), ("event_type", "string"), ("value", "double"), ("props", "string")],
+        key_columns=["user_id"],
+        n_buckets=16,
+    )
+    replay_batch(spark, merge_wal_shards(shards), table, run_id="q-shards", n_epochs=3)
+    return table.read().select(
+        "user_id", "event_type", F.round("value", 6).alias("value"), "props"
+    )
+
+
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
     "cdc_changelog_images": (cdc_changelog_images, CDC_CHANGELOG_SQL),
     "cdc_rollback_replay": (cdc_rollback_replay, CDC_REPLAY_SQL),
     "cdc_audit_gate": (cdc_audit_gate, CDC_REPLAY_SQL),
+    "cdc_shard_merge_replay": (cdc_shard_merge_replay, CDC_REPLAY_SQL),
     "cdc_incremental_agg": (cdc_incremental_agg, CDC_INCREMENTAL_AGG_SQL),
     "cdc_patch_fold": (cdc_patch_fold, CDC_PATCH_FOLD_SQL),
     "cdc_patch_replay_dups": (cdc_patch_replay_dups, CDC_PATCH_REPLAY_DUPS_SQL),
