@@ -63,6 +63,7 @@ class FanoutApplier:
         max_sink_threads: int = 8,
         dead_letter: str | None = None,
         audit_sql: str | None = None,
+        agg_views: dict[str, list[str]] | None = None,
     ):
         self.spark = spark
         self.leaves = leaves
@@ -74,6 +75,10 @@ class FanoutApplier:
         self.merge_mode = merge_mode
         self.dead_letter = dead_letter
         self.audit_sql = audit_sql
+        self.agg_views = agg_views or {}
+        unknown = set(self.agg_views) - {l.name for l in leaves}
+        if unknown:
+            raise ValueError(f"agg_views name unknown sinks: {sorted(unknown)}")
         self.max_sink_threads = max_sink_threads
         self.results: list[dict] = []
         self._keys_match: bool | None = None
@@ -292,6 +297,20 @@ class FanoutApplier:
                     self.results.extend(f.result() for f in futs)
             if pre_versions is not None:
                 self._audit_epoch(pre_versions, int(epoch_id))
+            if self.agg_views:
+                # streaming materialized aggregates: each sink's registered
+                # views refresh from its changelog AFTER the epoch publishes
+                # (and after a configured audit passed — rejected epochs
+                # never reach a view). Idempotent by stored table version:
+                # an epoch replayed after a crash between apply and refresh
+                # skips the apply and the refresh catches up here.
+                from embulk_filter_copy_spark.cdc.aggview import refresh_agg_view
+
+                for leaf in self.leaves:
+                    for vp in self.agg_views.get(leaf.name, []):
+                        refresh_agg_view(
+                            self.spark, LakeTable.load(self.spark, leaf.path), vp
+                        )
         finally:
             batch_df.unpersist()
             if dlq_cache is not None:
@@ -318,6 +337,7 @@ def replay_stream(
     kafka_options: dict | None = None,
     dead_letter: str | None = None,
     audit_sql: str | None = None,
+    agg_views: dict[str, list[str]] | None = None,
 ) -> list[dict]:
     """Structured-Streaming replay of an event-log directory into N sinks.
 
@@ -340,6 +360,12 @@ def replay_stream(
     and the stream fails with :class:`cdc.audit.AuditViolation`. The
     rollbacks re-open the exactly-once slots, so a corrected log resumes
     cleanly from the same checkpoint. Merge sinks only.
+
+    ``agg_views``: {sink name → [view paths]} of delta-maintained aggregate
+    views (``cdc.aggview``) to refresh from each sink's changelog after
+    every published epoch — streaming materialized aggregates. Build the
+    views with ``build_agg_view`` first; refreshes are idempotent by table
+    version, so crash/replay never double-counts.
     """
     if dead_letter is not None and source_format not in (
         "debezium-jsonl", "kafka",
@@ -356,7 +382,7 @@ def replay_stream(
     applier = FanoutApplier(
         spark, leaves, run_id, keys=keys, dedup=dedup, n_salts=n_salts,
         quarantine=quarantine, merge_mode=merge_mode, dead_letter=dead_letter,
-        audit_sql=audit_sql,
+        audit_sql=audit_sql, agg_views=agg_views,
     )
 
     if fail_after_epoch is not None:

@@ -146,3 +146,67 @@ def test_refresh_rebuilds_when_feed_refuses_the_gap(spark, tmpdir_path):
     apply_batch(t, _ev(spark, [(11, "I", 4, "a", 4.0)]), run_id="av2", epoch=0)
     assert refresh_agg_view(spark, t, vp)["mode"] == "incremental"
     assert _view(spark, vp) == _direct(t)
+
+
+def test_streaming_replay_maintains_agg_view(spark, tmpdir_path):
+    """replay_stream(agg_views=...): the view refreshes from the sink's
+    changelog after every published epoch, and a crash-resume replay never
+    double-counts (refresh is idempotent by table version)."""
+    from embulk_filter_copy_spark.cdc.aggview import build_agg_view, read_agg_view
+    from embulk_filter_copy_spark.cdc.replayer import replay_stream
+    from embulk_filter_copy_spark.fixtures import (
+        REPO_FILES_SCHEMA,
+        gen_change_events,
+        gen_repo_files,
+    )
+
+    base = gen_repo_files(spark, 60, seed=11)
+    sink = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "sink"), REPO_FILES_SCHEMA,
+        key_columns=["repo", "path"], n_buckets=8,
+    )
+    sink.append(base.withColumn("_lsn", F.lit(0)))
+    vp = os.path.join(tmpdir_path, "view")
+    build_agg_view(spark, sink, vp, group_cols=["lang"], sum_cols=[])
+
+    ev = gen_change_events(spark, 60, 240, seed=11)
+    log = os.path.join(tmpdir_path, "log")
+    bounds = ev.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    span = (bounds[1] - bounds[0] + 1) / 3
+    for c in range(3):
+        lo = bounds[0] + int(c * span)
+        hi = bounds[0] + int((c + 1) * span) if c < 2 else bounds[1] + 1
+        ev.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)).coalesce(1) \
+          .write.mode("append").parquet(log)
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+
+    # crash after the first epoch, then resume: view must land exact
+    try:
+        replay_stream(
+            spark, log, os.path.join(tmpdir_path, "sink"), checkpoint=ckpt,
+            max_files_per_trigger=1, fail_after_epoch=0,
+            agg_views={"primary": [vp]},
+        )
+    except Exception:
+        pass
+    replay_stream(
+        spark, log, os.path.join(tmpdir_path, "sink"), checkpoint=ckpt,
+        max_files_per_trigger=1, agg_views={"primary": [vp]},
+    )
+    got = {r["lang"]: r["n_rows"] for r in read_agg_view(spark, vp).collect()}
+    want = {
+        r["lang"]: r["n"]
+        for r in sink.read().groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_streaming_agg_views_reject_unknown_sink(spark, tmpdir_path):
+    import pytest
+
+    from embulk_filter_copy_spark.cdc.replayer import FanoutApplier
+    from embulk_filter_copy_spark.cdc.splitter import SinkSpec, flatten_specs
+
+    leaves = flatten_specs(SinkSpec(name="cur", path=os.path.join(tmpdir_path, "c")))
+    with pytest.raises(ValueError, match="unknown sinks"):
+        FanoutApplier(spark, leaves, "r", agg_views={"nope": ["/tmp/x"]})
