@@ -104,6 +104,8 @@ HEADLINE_QUERIES = [
     "text_quality_by_source",
     "multimodal_metadata",
     "cdc_patch_fold",
+    "cdc_changelog_images",
+    "cdc_incremental_agg",
     "sample_domain_token_cap",
     "ann_ivf_recall",
     "pipeline_build_corpus",

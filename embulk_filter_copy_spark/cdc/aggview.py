@@ -77,13 +77,17 @@ def _commit_view(spark: SparkSession, view_path: str, df: DataFrame, meta: dict)
     two leaves the previous (version, data dir) pair fully intact."""
     data_dir = os.path.join(view_path, f"data-{meta['version']:08d}-{uuid.uuid4().hex[:8]}")
     df.write.mode("errorifexists").parquet(data_dir)
-    old = _read_meta(view_path)
     tmp = os.path.join(view_path, f".{_META}.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(dict(meta, data_dir=os.path.basename(data_dir)), f)
     os.replace(tmp, _meta_path(view_path))
-    if old and old.get("data_dir"):
-        shutil.rmtree(os.path.join(view_path, old["data_dir"]), ignore_errors=True)
+    # sweep EVERY non-current data dir, not just the immediately-previous
+    # one — a crash between the pointer swap and this cleanup would
+    # otherwise leak a directory forever
+    keep = os.path.basename(data_dir)
+    for name in os.listdir(view_path):
+        if name.startswith("data-") and name != keep:
+            shutil.rmtree(os.path.join(view_path, name), ignore_errors=True)
 
 
 def read_agg_view(spark: SparkSession, view_path: str) -> DataFrame:

@@ -210,3 +210,20 @@ def test_streaming_agg_views_reject_unknown_sink(spark, tmpdir_path):
     leaves = flatten_specs(SinkSpec(name="cur", path=os.path.join(tmpdir_path, "c")))
     with pytest.raises(ValueError, match="unknown sinks"):
         FanoutApplier(spark, leaves, "r", agg_views={"nope": ["/tmp/x"]})
+
+
+def test_commit_sweeps_crash_leaked_data_dirs(spark, tmpdir_path):
+    """A crash between the meta-pointer swap and cleanup leaks a data dir;
+    the NEXT commit must sweep every non-current one."""
+    t = _mk(spark, os.path.join(tmpdir_path, "t"))
+    vp = os.path.join(tmpdir_path, "view")
+    apply_batch(t, _ev(spark, [(1, "I", 1, "a", 1.0)]), run_id="av", epoch=0)
+    build_agg_view(spark, t, vp, group_cols=["grp"], sum_cols=["x"])
+    # simulate the leak: a stale dir from a crashed commit
+    leaked = os.path.join(vp, "data-99999999-deadbeef")
+    os.makedirs(leaked)
+    apply_batch(t, _ev(spark, [(2, "I", 2, "b", 2.0)]), run_id="av", epoch=1)
+    refresh_agg_view(spark, t, vp)
+    dirs = [d for d in os.listdir(vp) if d.startswith("data-")]
+    assert len(dirs) == 1 and not os.path.exists(leaked)
+    assert _view(spark, vp) == _direct(t)
