@@ -188,12 +188,35 @@ def cmd_rollback(args) -> None:
     print(json.dumps(t.rollback(args.to_version)))
 
 
+def cmd_aggview(args) -> None:
+    from embulk_filter_copy_spark.cdc.aggview import (
+        _read_meta,
+        build_agg_view,
+        refresh_agg_view,
+    )
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    if _read_meta(args.view) is None:
+        if not args.group_by:
+            raise SystemExit("--group-by is required to build a new view")
+        res = build_agg_view(
+            spark, t, args.view,
+            group_cols=args.group_by.split(","),
+            sum_cols=args.sum.split(",") if args.sum else [],
+        )
+    else:
+        res = refresh_agg_view(spark, t, args.view)
+    print(json.dumps(res))
+
+
 def cmd_changelog(args) -> None:
     from embulk_filter_copy_spark.lake.table import LakeTable
 
     spark = _spark(args)
     t = LakeTable.load(spark, args.table)
-    df = t.changelog(args.since_version)
+    df = t.changelog(args.since_version, version=args.until_version)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"rows": spark.read.parquet(args.out).count(), "out": args.out}))
@@ -368,8 +391,21 @@ def main(argv: list[str] | None = None) -> None:
     cl.set_defaults(func=cmd_changelog)
     cl.add_argument("--table", required=True)
     cl.add_argument("--since-version", type=int, required=True)
+    cl.add_argument("--until-version", type=int, default=None,
+                    help="pin the window's end snapshot (default: current)")
     cl.add_argument("--out", help="write the changelog as parquet (else print)")
     cl.add_argument("--limit", type=int, default=20)
+
+    av = sub.add_parser(
+        "aggview",
+        help="build (first run, --group-by required) or incrementally "
+        "refresh a delta-maintained count/sum aggregate view",
+    )
+    av.set_defaults(func=cmd_aggview)
+    av.add_argument("--table", required=True)
+    av.add_argument("--view", required=True, help="view root directory")
+    av.add_argument("--group-by", default=None, help="comma-separated group columns")
+    av.add_argument("--sum", default=None, help="comma-separated sum columns")
 
     ch = sub.add_parser("changes", help="emit the net change feed since a snapshot version")
     ch.add_argument("--table", required=True)
@@ -395,6 +431,7 @@ def main(argv: list[str] | None = None) -> None:
         "compact-quarantine": cmd_compact_quarantine,
         "redrive": cmd_redrive,
         "fsck": cmd_fsck,
+        "aggview": cmd_aggview,
         "rescale": cmd_rescale,
         "rollback": cmd_rollback,
         "changelog": cmd_changelog,

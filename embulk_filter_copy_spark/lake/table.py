@@ -452,7 +452,7 @@ class LakeTable:
             F.lit(None).cast("string").alias("schema_change"),
         )
 
-    def changelog(self, since_version: int) -> DataFrame:
+    def changelog(self, since_version: int, version: int | None = None) -> DataFrame:
         """Pre/post-image changelog between a past snapshot and now — the
         Iceberg ``create_changelog_view`` analogue, built entirely from the
         net change feed plus a bucket-pruned before-image scan.
@@ -468,10 +468,14 @@ class LakeTable:
         LSN pruned), the before side reads ONLY the buckets the diff
         touched at the old version, and the two meet in one equi-join on
         the key columns — cost ∝ changed data, never table size. Both
-        sides are projected to the CURRENT schema by field id, so renames
-        and widenings between the two versions don't fork column names.
+        sides are projected to the PINNED end snapshot's schema by field
+        id, so renames and widenings between the two versions don't fork
+        column names.
+
+        ``version`` pins the END of the window (default: current) — the
+        changelog between any two historical snapshots, for audit replay.
         """
-        cur_version = self.current_version()
+        cur_version = self.current_version() if version is None else int(version)
         cur_snap = self.snapshot_at(cur_version)
         changes = self.read_changes(since_version, version=cur_version)
         old_snap = self.snapshot_at(since_version)

@@ -383,3 +383,21 @@ def test_changelog_spans_schema_evolution(spark, tmpdir_path):
     assert "before_body" in r.asDict() and "after_body" in r.asDict()
     assert r["op"] == "U" and r["after_body"] == "post-rename"
     assert r["before_body"] is not None  # the old column's value, new name
+
+
+def test_changelog_window_pins_the_end_version(spark, tmpdir_path):
+    """changelog(since, version=until) reads between two HISTORICAL
+    snapshots — audit replay of any past window."""
+    t = _bootstrap(spark, os.path.join(tmpdir_path, "clogw"), n_base=10)
+    v0 = t.current_version()
+    ka = sorted((r["repo"], r["path"]) for r in t.read().collect())[0]
+    apply_batch(t, _ev_rows(spark, [(301, "U", ka[0], ka[1], "mid")]),
+                run_id="w", epoch=0)
+    v1 = t.current_version()
+    apply_batch(t, _ev_rows(spark, [(302, "U", ka[0], ka[1], "end")]),
+                run_id="w", epoch=1)
+
+    win = t.changelog(v0, version=v1).collect()
+    assert len(win) == 1 and win[0]["after_content"] == "mid"
+    full = t.changelog(v0).collect()
+    assert len(full) == 1 and full[0]["after_content"] == "end"
