@@ -24,12 +24,15 @@ for m in (CDC_QUERIES, TPCH_QUERIES, PIPELINE_QUERIES):
     assert not dup, f"duplicate query names: {dup}"
     _MERGED.update(m)
 
-# Verification priority (round 5 rotation): the one query whose OUTPUT
-# changed this round (text_quality_rules grew six rule columns) registers
-# first, followed by the 22 rows deprioritized in round 4 — their newest
-# driver rows are from round 3, the rotation policy's age limit, so they
-# re-enter the window now. The 27 unlisted mid-catalog queries keep their
-# round-4 window slots.
+# Verification priority (round 5 rotation): the six NEW round-5 queries
+# (changelog images, incremental agg view, rollback replay, audit gate,
+# shard merge, patch-dup replay) plus the one whose OUTPUT changed
+# (text_quality_rules grew six rule columns) register first, followed by
+# the 22 rows deprioritized in round 4 — their newest driver rows are from
+# round 3, the rotation policy's age limit, so they re-enter the window
+# now. Unlisted mid-catalog queries fill the remaining first-50 slots;
+# the handful that slip past 50 are round-4 green (one round old) and
+# stay covered by the local DuckDB parity suite every run.
 _PRIORITY = [
     "cdc_changelog_images",
     "cdc_incremental_agg",
