@@ -169,7 +169,11 @@ def refresh_agg_view(spark: SparkSession, table: LakeTable, view_path: str) -> d
         res = build_agg_view(spark, table, view_path, group_cols, sum_cols)
         return dict(res, mode="rebuild", reason="table regressed below view version")
     try:
-        log = table.changelog(since)
+        # pin the window's END to the version the meta will record — a
+        # commit landing between the version read and the changelog scan
+        # would otherwise be covered by the scan but NOT by the recorded
+        # version, and the next refresh would re-apply it (double count)
+        log = table.changelog(since, version=version)
     except ValueError as e:
         res = build_agg_view(spark, table, view_path, group_cols, sum_cols)
         return dict(res, mode="rebuild", reason=str(e))
