@@ -241,7 +241,8 @@ def cmd_rescale(args) -> None:
 
     spark = _spark(args)
     t = LakeTable.load(spark, args.table)
-    print(json.dumps(t.rescale_buckets(args.buckets)))
+    cols = args.bucket_by.split(",") if args.bucket_by else None
+    print(json.dumps(t.rescale_buckets(args.buckets, new_bucket_columns=cols)))
 
 
 def cmd_expire(args) -> None:
@@ -355,10 +356,12 @@ def main(argv: list[str] | None = None) -> None:
     rd.add_argument("--dedup", choices=["plain", "salted", "patch"], default="plain")
     rd.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
 
-    rs = sub.add_parser("rescale", help="rewrite the table under a new bucket count")
+    rs = sub.add_parser("rescale", help="rewrite the table under a new bucket spec (count and/or columns)")
     rs.set_defaults(func=cmd_rescale)
     rs.add_argument("--table", required=True)
-    rs.add_argument("--buckets", type=int, required=True)
+    rs.add_argument("--buckets", type=int, default=None)
+    rs.add_argument("--bucket-by", default=None,
+                    help="comma-separated new bucket columns (subset of the keys)")
 
     e = sub.add_parser("expire", help="expire old snapshots and delete orphaned data files")
     e.set_defaults(func=cmd_expire)

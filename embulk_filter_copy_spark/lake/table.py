@@ -194,11 +194,17 @@ class LakeTable:
     def schema_lsn(self) -> int:
         return self.snapshot()["schema_lsn"]
 
-    def bucket_expr(self, n_buckets: int | None = None) -> F.Column:
+    def bucket_expr(
+        self,
+        n_buckets: int | None = None,
+        bucket_columns: list[str] | None = None,
+    ) -> F.Column:
         """Hash-bucket of the bucket columns (default: the key columns);
-        the physical partitioning unit."""
+        the physical partitioning unit. Both overrides serve the rebucket
+        path, which must hash by the NEW spec before the snapshot records
+        it."""
         return F.pmod(
-            F.xxhash64(*[F.col(k) for k in self.bucket_columns]),
+            F.xxhash64(*[F.col(k) for k in (bucket_columns or self.bucket_columns)]),
             F.lit(n_buckets if n_buckets is not None else self.n_buckets),
         )
 
@@ -564,13 +570,14 @@ class LakeTable:
 
     def _write_data_files(
         self, df: DataFrame, commit_dir: str, kind: str = "base",
-        n_buckets: int | None = None,
+        n_buckets: int | None = None, bucket_columns: list[str] | None = None,
     ) -> list[dict]:
         """Write df into data/<commit_dir>/_bucket=*/ and return file entries.
-        ``n_buckets`` overrides the snapshot's bucket count (rescale path)."""
+        ``n_buckets`` / ``bucket_columns`` override the snapshot's bucket
+        spec (the rescale/rebucket path)."""
         out_dir = os.path.join(self.path, "data", commit_dir)
         staged = self._prepare_write(df).withColumn(
-            "_bucket", self.bucket_expr(n_buckets)
+            "_bucket", self.bucket_expr(n_buckets, bucket_columns)
         )
         # one shuffle keyed by bucket so each bucket's rows land contiguously;
         # at cluster scale this is the co-partitioning the MERGE join reuses.
@@ -804,27 +811,51 @@ class LakeTable:
             "rows": res["rows"],
         }
 
-    def rescale_buckets(self, new_n_buckets: int) -> dict:
-        """Rewrite the whole table under a new bucket count — the knob a
+    def rescale_buckets(
+        self,
+        new_n_buckets: int | None = None,
+        new_bucket_columns: list[str] | None = None,
+    ) -> dict:
+        """Rewrite the whole table under a new bucket SPEC — count and/or
+        columns (Iceberg partition-spec evolution). The count is the knob a
         growing table turns when its buckets get too coarse (a 100 TB table
-        wants thousands of buckets; a fresh one wants dozens). One shuffle
-        of the full data keyed by the NEW bucket function; merge-on-read
-        deltas are folded in (the scan resolves LWW) and tombstones are
-        preserved, so CDC semantics are unchanged. Atomic: readers see
-        either the old bucketing or the new one; concurrent writers lose
-        the snapshot race and retry (CommitConflict). At cluster scale this
-        is the same background job shape as a full compaction."""
-        new_n_buckets = int(new_n_buckets)
+        wants thousands of buckets; a fresh one wants dozens); the columns
+        change when access patterns shift (e.g. a (repo, path)-keyed table
+        rebucketted by (repo) alone so per-repo scans and history rewrites
+        prune to one bucket). New bucket columns must remain a subset of
+        the key columns — the bucket-pruned MERGE invariant.
+
+        One shuffle of the full data keyed by the NEW bucket function;
+        merge-on-read deltas are folded in (the scan resolves LWW) and
+        tombstones are preserved, so CDC semantics are unchanged. Atomic:
+        readers see either the old spec or the new one; concurrent writers
+        lose the snapshot race and retry (CommitConflict). At cluster scale
+        this is the same background job shape as a full compaction."""
+        if new_n_buckets is None and new_bucket_columns is None:
+            raise ValueError("give new_n_buckets, new_bucket_columns, or both")
+        new_n_buckets = int(new_n_buckets if new_n_buckets is not None else self.n_buckets)
         if new_n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        if new_bucket_columns is not None:
+            keys = self.key_columns
+            bad = [c for c in new_bucket_columns if c not in keys]
+            if bad:
+                raise ValueError(
+                    f"bucket columns must be a subset of key columns; extra: {bad}"
+                )
+            if not new_bucket_columns:
+                raise ValueError("new_bucket_columns must be non-empty")
         df = self.read(include_meta=True)
         snap = self._next_snapshot()
         entries = self._write_data_files(
             df,
             f"r{snap['version']:08d}-{uuid.uuid4().hex[:8]}",
             n_buckets=new_n_buckets,
+            bucket_columns=new_bucket_columns,
         )
         snap["n_buckets"] = new_n_buckets
+        if new_bucket_columns is not None:
+            snap["bucket_columns"] = list(new_bucket_columns)
         snap["files"] = entries  # full replacement — every row was rewritten
         snap["commits"] = snap["commits"] + [
             {
@@ -832,12 +863,14 @@ class LakeTable:
                 "epoch": snap["version"],
                 "seq": 0,
                 "n_buckets": new_n_buckets,
+                "bucket_columns": snap.get("bucket_columns"),
                 "committed_at": time.time(),
             }
         ]
         self._write_snapshot(snap)
         return {
             "n_buckets": new_n_buckets,
+            "bucket_columns": list(snap.get("bucket_columns") or self.key_columns),
             "files": len(entries),
             "rows": sum(e["rows"] for e in entries),
         }

@@ -124,3 +124,40 @@ def test_lookup_prunes_to_one_bucket(spark, tmpdir_path):
 
     # absent key: empty, still single-bucket work
     assert t.lookup({"repo": "no/such", "path": "nope.py"}).count() == 0
+
+
+# ---------------------------------------------------------------------------
+def test_rebucket_by_new_columns(spark, tmpdir_path):
+    """Partition-spec evolution: rebucket a (repo, path)-keyed table by
+    (repo) alone — state identical, lookups prune on repo only, and fsck
+    verifies every row's placement under the NEW spec."""
+    import pytest
+
+    t = _bootstrap(spark, os.path.join(tmpdir_path, "rb"))
+    before = sorted(tuple(r) for r in t.read().collect())
+
+    res = t.rescale_buckets(new_n_buckets=4, new_bucket_columns=["repo"])
+    assert res["bucket_columns"] == ["repo"] and res["n_buckets"] == 4
+    assert t.bucket_columns == ["repo"] and t.n_buckets == 4
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+
+    # the whole point: per-repo access now needs only the repo
+    row = t.read().first()
+    got = t.lookup({"repo": row["repo"], "path": row["path"]}).collect()
+    assert len(got) == 1
+
+    # fsck re-derives every row's bucket under the NEW spec — all placed
+    rep = fsck(spark, t)
+    assert rep["ok"], rep["issues"]
+
+    # merges keep working against the new spec
+    ev = gen_change_events(spark, 80, 60, seed=7).withColumn(
+        "lsn", F.col("lsn") + F.lit(10**6)
+    )
+    apply_batch(t, ev, run_id="fsck", epoch=1)
+    assert fsck(spark, t)["ok"]
+
+    with pytest.raises(ValueError, match="subset of key columns"):
+        t.rescale_buckets(new_bucket_columns=["lang"])
+    with pytest.raises(ValueError, match="give new_n_buckets"):
+        t.rescale_buckets()
