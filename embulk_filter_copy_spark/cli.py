@@ -262,6 +262,8 @@ def cmd_compact(args) -> None:
         purge_tombstones=args.purge_tombstones,
         max_files_per_bucket=args.max_files_per_bucket,
         min_delta_files=args.min_delta_files,
+        sort_by=args.sort_by.split(",") if args.sort_by else None,
+        files_per_bucket_out=args.files_per_bucket_out,
     )
     print(json.dumps(res))
 
@@ -331,6 +333,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="fold a bucket's MOR deltas only once this many have"
                         " accumulated (defer write amplification; reads stay"
                         " correct at any delta depth)")
+    c.add_argument("--sort-by", default=None,
+                   help="comma-separated sort columns: sort-ordered rewrite, records per-file col_stats for range pruning")
+    c.add_argument("--files-per-bucket-out", type=int, default=1,
+                   help="range-split each bucket into N disjoint-range files")
 
     cq = sub.add_parser("compact-quarantine",
                         help="fold per-epoch quarantine dirs into one compacted dir")

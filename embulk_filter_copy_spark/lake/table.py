@@ -230,6 +230,7 @@ class LakeTable:
         include_meta: bool = False,
         buckets: list[int] | None = None,
         version: int | None = None,
+        stat_filter: tuple | None = None,
     ) -> DataFrame:
         """Snapshot scan with manifest-level bucket pruning.
 
@@ -252,6 +253,43 @@ class LakeTable:
             files = [f for f in files if f["bucket"] in bset]
         cur = TableSchema.from_json(snap["schemas"][str(snap["schema_version"])])
         key_columns = snap["key_columns"]
+        if stat_filter is not None:
+            # manifest-level range pruning over the per-file col_stats a
+            # sorted compaction recorded (``stat_filter=(col, lo, hi)``,
+            # either bound may be None). Exactness rules:
+            #  * files without stats for the column are kept (safe);
+            #  * buckets holding DELTA files are exempt entirely — the LWW
+            #    winner may sit in a delta outside the range, and pruning
+            #    its base row's competitor could resurrect stale state;
+            #  * the row-level predicate is ALWAYS applied after the scan,
+            #    so results are exact whether or not any file was pruned.
+            # Stats are recorded under the FILE's column name at write time;
+            # map the current name back per schema version by field id.
+            sf_col, sf_lo, sf_hi = stat_filter
+            cur_field = cur.field(sf_col)
+            name_by_sv: dict[int, str | None] = {}
+            delta_buckets = {f["bucket"] for f in files if f.get("kind") == "delta"}
+
+            def _keep(f):
+                if f["bucket"] in delta_buckets:
+                    return True
+                sv = f["schema_version"]
+                if sv not in name_by_sv:
+                    old = TableSchema.from_json(snap["schemas"][str(sv)]).field_by_id(
+                        cur_field.id
+                    )
+                    name_by_sv[sv] = old.name if old is not None else None
+                cs = (f.get("col_stats") or {}).get(name_by_sv[sv])
+                if cs is None:
+                    return True
+                fmin, fmax = cs
+                if sf_lo is not None and fmax < sf_lo:
+                    return False
+                if sf_hi is not None and fmin > sf_hi:
+                    return False
+                return True
+
+            files = [f for f in files if _keep(f)]
         has_deltas = any(f.get("kind") == "delta" for f in files)
         if not files:
             df = self._empty_df(include_meta=True, schema=cur)
@@ -293,6 +331,14 @@ class LakeTable:
                     .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
                 )
             df = df.drop("_is_delta")
+        if stat_filter is not None:
+            sf_col, sf_lo, sf_hi = stat_filter
+            pred = F.lit(True)
+            if sf_lo is not None:
+                pred = pred & (F.col(sf_col) >= F.lit(sf_lo))
+            if sf_hi is not None:
+                pred = pred & (F.col(sf_col) <= F.lit(sf_hi))
+            df = df.filter(pred)
         if not include_meta:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*META_NAMES)
         return df
@@ -571,10 +617,18 @@ class LakeTable:
     def _write_data_files(
         self, df: DataFrame, commit_dir: str, kind: str = "base",
         n_buckets: int | None = None, bucket_columns: list[str] | None = None,
+        sort_by: list[str] | None = None, range_files: int = 1,
     ) -> list[dict]:
         """Write df into data/<commit_dir>/_bucket=*/ and return file entries.
         ``n_buckets`` / ``bucket_columns`` override the snapshot's bucket
-        spec (the rescale/rebucket path)."""
+        spec (the rescale/rebucket path).
+
+        ``sort_by`` clusters each bucket's rows on those columns; with
+        ``range_files > 1`` the bucket additionally RANGE-SPLITS into that
+        many files with disjoint sort-key ranges (ntile within the bucket)
+        — the Iceberg sort-order analogue. Combined with the per-file
+        min/max stats recorded below, range predicates then prune at the
+        manifest level (``read(stat_filter=...)``) before any scan."""
         out_dir = os.path.join(self.path, "data", commit_dir)
         staged = self._prepare_write(df).withColumn(
             "_bucket", self.bucket_expr(n_buckets, bucket_columns)
@@ -586,40 +640,82 @@ class LakeTable:
         # whole write stage; 4x cores keeps ≤2 buckets per task
         n_buckets = int(n_buckets if n_buckets is not None else self.snapshot()["n_buckets"])
         width = min(n_buckets, 4 * self.spark.sparkContext.defaultParallelism)
-        staged = staged.repartition(width, F.col("_bucket"))
+        if sort_by:
+            order = [F.col(c) for c in sort_by]
+            if range_files > 1:
+                # range partitioning on (_bucket, sort keys): every task
+                # partition holds a CONTIGUOUS (bucket, key) span, so each
+                # bucket's files get disjoint sort-key ranges by
+                # construction (a hash shuffle on an ntile would merge
+                # non-adjacent tiles into one file and overlap the ranges)
+                parts = min(n_buckets * int(range_files), 4096)
+                staged = staged.repartitionByRange(
+                    parts, F.col("_bucket"), *order
+                ).sortWithinPartitions("_bucket", *order)
+            else:
+                staged = staged.repartition(width, F.col("_bucket")) \
+                               .sortWithinPartitions("_bucket", *order)
+        else:
+            staged = staged.repartition(width, F.col("_bucket"))
         staged.write.mode("errorifexists").partitionBy("_bucket").parquet(out_dir)
         sv = self.snapshot()["schema_version"]
         paths = sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet")))
+        stat_cols = list(sort_by or [])
 
-        def footer_stats(p: str) -> tuple[int, int | None, int | None]:
-            """(rows, lsn_min, lsn_max) from the parquet footer — zero extra
-            jobs: the row-group column statistics already carry min/max for
-            ``_lsn``, giving the manifest Iceberg-style per-file value
-            ranges (the data-skipping primitive ``read_changes`` prunes
-            with)."""
+        def _plain(v):
+            # manifest entries are JSON: keep only portable scalar stats
+            if isinstance(v, bool) or v is None:
+                return None
+            if isinstance(v, (int, float, str)):
+                return v
+            try:
+                import numpy as _np
+
+                if isinstance(v, _np.generic):
+                    return v.item()
+            except Exception:
+                pass
+            return None
+
+        def footer_stats(p: str):
+            """(rows, lsn_min, lsn_max, {col: [min, max]}) from the parquet
+            footer — zero extra jobs: row-group column statistics already
+            carry min/max, giving the manifest Iceberg-style per-file value
+            ranges (the data-skipping primitive ``read_changes`` and
+            ``stat_filter`` prune with)."""
             md = pq.ParquetFile(p).metadata
-            lsn_idx = next(
-                (i for i in range(md.num_columns)
-                 if md.schema.column(i).name == "_lsn"),
-                None,
-            )
-            lo = hi = None
-            if lsn_idx is not None:
+            name_to_idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+
+            def col_range(name):
+                idx = name_to_idx.get(name)
+                if idx is None:
+                    return None, None
+                lo = hi = None
                 for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(lsn_idx).statistics
+                    st = md.row_group(rg).column(idx).statistics
                     if st is None or not st.has_min_max:
-                        lo = hi = None
-                        break
+                        return None, None
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-            return md.num_rows, lo, hi
+                return lo, hi
+
+            lsn_lo, lsn_hi = col_range("_lsn")
+            col_stats = {}
+            for c in stat_cols:
+                lo, hi = col_range(c)
+                lo, hi = _plain(lo), _plain(hi)
+                if lo is not None and hi is not None:
+                    col_stats[c] = [lo, hi]
+            return md.num_rows, lsn_lo, lsn_hi, col_stats
 
         # footer reads are per-file driver I/O — overlap them (64+ buckets
         # per commit would otherwise serialize into ~1s of epoch latency)
         with ThreadPoolExecutor(max_workers=min(16, max(len(paths), 1))) as ex:
             stats = list(ex.map(footer_stats, paths))
         entries = []
-        for p, (rows, lsn_lo, lsn_hi) in zip(paths, stats):
+        for p, (rows, lsn_lo, lsn_hi, col_stats) in zip(paths, stats):
             bucket = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
             if rows == 0:
                 continue
@@ -631,6 +727,8 @@ class LakeTable:
                 "lsn_min": lsn_lo,
                 "lsn_max": lsn_hi,
             }
+            if col_stats:
+                entry["col_stats"] = col_stats
             if kind != "base":
                 entry["kind"] = kind
             entries.append(entry)
@@ -685,12 +783,16 @@ class LakeTable:
         return sum(1 for f in self.files(buckets) if f.get("kind") == "delta")
 
     def replace_buckets(
-        self, buckets: list[int], df: DataFrame, commit: dict | None = None
+        self, buckets: list[int], df: DataFrame, commit: dict | None = None,
+        sort_by: list[str] | None = None, range_files: int = 1,
     ) -> dict:
         """Copy-on-write swap: new files for `buckets`, other buckets untouched."""
         bset = set(int(b) for b in buckets)
         snap = self._next_snapshot()
-        entries = self._write_data_files(df, f"c{snap['version']:08d}-{uuid.uuid4().hex[:8]}")
+        entries = self._write_data_files(
+            df, f"c{snap['version']:08d}-{uuid.uuid4().hex[:8]}",
+            sort_by=sort_by, range_files=range_files,
+        )
         bad = [e for e in entries if e["bucket"] not in bset]
         if bad:
             raise ValueError(f"write produced rows outside affected buckets: {bad[:3]}")
@@ -757,6 +859,8 @@ class LakeTable:
         purge_tombstones: bool = False,
         max_files_per_bucket: int = 1,
         min_delta_files: int = 1,
+        sort_by: list[str] | None = None,
+        files_per_bucket_out: int = 1,
     ) -> dict:
         """Rewrite fragmented buckets (small-file compaction) and optionally
         drop tombstones — safe once (a) every producer's watermark has
@@ -777,7 +881,17 @@ class LakeTable:
         for write amplification on the operator's own terms. (The default 1
         keeps the historical fold-everything behavior; purge_tombstones
         still forces every bucket — a purge must not leave shielded
-        tombstones behind in skipped buckets.)"""
+        tombstones behind in skipped buckets.)
+
+        ``sort_by`` requests a SORT-ORDERED rewrite (Iceberg sort-order
+        analogue): every in-scope bucket is rewritten (a clustering request
+        overrides the fragmentation thresholds) with rows clustered on the
+        sort columns; ``files_per_bucket_out > 1`` range-splits each bucket
+        into files with disjoint sort-key ranges. The write records
+        per-file min/max ``col_stats`` for the sort columns, which
+        ``read(stat_filter=(col, lo, hi))`` then prunes at the manifest
+        level — range scans over a CDC sink (time windows, commit ranges)
+        stop paying for the whole bucket."""
         # the two knobs are orthogonal: max_files_per_bucket measures BASE
         # fragmentation, min_delta_files measures delta depth — counting a
         # delta against the base threshold would re-trigger the fold the
@@ -792,6 +906,7 @@ class LakeTable:
             for b in set(base_counts) | set(delta_counts)
             if base_counts.get(b, 0) > max_files_per_bucket
             or purge_tombstones
+            or sort_by is not None
             or delta_counts.get(b, 0) >= max(min_delta_files, 1)
         )
         if not targets:
@@ -803,7 +918,12 @@ class LakeTable:
         commit = {"run_id": "__compaction__", "epoch": self.current_version(), "seq": 0}
         if purge_tombstones:
             commit["purged_tombstones"] = True  # read_changes poison marker
-        res = self.replace_buckets(targets, df, commit=commit)
+        if sort_by:
+            commit["sort_by"] = list(sort_by)
+        res = self.replace_buckets(
+            targets, df, commit=commit,
+            sort_by=sort_by, range_files=files_per_bucket_out,
+        )
         return {
             "buckets_compacted": targets,
             "files_before": files_before,
