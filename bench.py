@@ -315,7 +315,39 @@ def maintenance_throughput(spark, n_base: int, n_events: int, workdir: str) -> d
     av_refresh_dur = max(time.time() - t0, 1e-9)
     assert av_res["mode"] == "incremental", av_res
 
+    # sort-ordered rewrite + manifest range pruning: cluster the sink by
+    # path into 4 disjoint-range files per bucket, then range-scan — the
+    # planned file count and wall time vs the full-scan filter are the
+    # data-skipping payoff a time/commit-range query gets at 100 TB
+    from pyspark.sql import functions as _F
+
+    t0 = time.time()
+    dst.compact(sort_by=["path"], files_per_bucket_out=4)
+    sort_compact_dur = max(time.time() - t0, 1e-9)
+    n_files = len(dst.files())
+    lo, hi = "src/dir1", "src/dir2"
+    planned = [
+        f for f in dst.files()
+        if "col_stats" not in f
+        or not (f["col_stats"]["path"][1] < lo or f["col_stats"]["path"][0] > hi)
+    ]
+    t0 = time.time()
+    n_pruned_rows = dst.read(stat_filter=("path", lo, hi)).count()
+    pruned_dur = max(time.time() - t0, 1e-9)
+    t0 = time.time()
+    n_full_rows = dst.read().filter(_F.col("path").between(lo, hi)).count()
+    full_dur = max(time.time() - t0, 1e-9)
+    assert n_pruned_rows == n_full_rows
+
     return {
+        "range_scan": {
+            "sort_compact_sec": round(sort_compact_dur, 2),
+            "files_total": n_files,
+            "files_planned": len(planned),
+            "rows": n_pruned_rows,
+            "pruned_scan_sec": round(pruned_dur, 2),
+            "full_scan_sec": round(full_dur, 2),
+        },
         "changelog": {
             "rows": clog_rows,
             "duration_sec": round(clog_dur, 2),

@@ -545,6 +545,17 @@ def refresh_history(store: LakeTable, dest: LakeTable, run_id: str = "mat") -> d
                 {"action": "widen", "column": sf.name, "to": sf.type},
                 schema_lsn=dest.schema_lsn + 1,
             )
+    # drops: a field the view last saw that the store no longer carries.
+    # Without the mirror the refreshed buckets would null-fill the stale
+    # column while untouched buckets keep old values — a half-dropped view.
+    cur_ids = {f.id for f in store.schema.fields}
+    dest_names = {f.name for f in dest.schema.fields}
+    for fid, of in old_by_id.items():
+        if fid not in cur_ids and of.name in dest_names:
+            dest.update_schema(
+                {"action": "drop", "column": of.name},
+                schema_lsn=dest.schema_lsn + 1,
+            )
     changed = (
         store.read_changes(since_version=since).select(*keys).distinct()
     ).localCheckpoint()  # small (changed keys only); 3 consumers below

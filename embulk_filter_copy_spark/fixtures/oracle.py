@@ -53,6 +53,12 @@ def replay_oracle(base_pdf: pd.DataFrame, events_pdf: pd.DataFrame) -> pd.DataFr
                     d[dst] = d.pop(src)
             elif action == "widen":
                 pass  # value-preserving; cast applied when materializing
+            elif action == "drop":
+                col = change["column"]
+                if col in columns:
+                    columns.remove(col)
+                    for d in state.values():
+                        d.pop(col, None)
             else:
                 raise ValueError(f"unknown schema action {action!r}")
             continue

@@ -195,8 +195,24 @@ class TableSchema:
             next_id=self.next_id,
         )
 
+    def drop_column(self, name: str) -> TableSchema:
+        """Remove a column from the CURRENT schema. Field ids are never
+        reused (``next_id`` keeps advancing), so a later add with the same
+        NAME gets a fresh id and old files' values can never resurrect
+        under it — the Iceberg id-based drop semantics. Data files keep the
+        physical column; reads project by id and simply stop selecting it;
+        time travel below the drop still sees it."""
+        f = self.field(name)  # raises if absent
+        if len(self.fields) == 1:
+            raise SchemaEvolutionError("cannot drop the only column")
+        return TableSchema(
+            fields=tuple(g for g in self.fields if g.id != f.id),
+            next_id=self.next_id,
+        )
+
     def apply_change(self, change: dict) -> TableSchema:
-        """Apply a CDC schema-change payload: ``{"action": "add"|"rename"|"widen", ...}``."""
+        """Apply a CDC schema-change payload:
+        ``{"action": "add"|"rename"|"widen"|"drop", ...}``."""
         action = change.get("action")
         if action == "add":
             return self.add_column(change["column"], change["type"])
@@ -204,4 +220,6 @@ class TableSchema:
             return self.rename_column(change["from"], change["to"])
         if action == "widen":
             return self.widen_column(change["column"], change["to"])
+        if action == "drop":
+            return self.drop_column(change["column"])
         raise SchemaEvolutionError(f"unknown schema-change action: {action!r}")

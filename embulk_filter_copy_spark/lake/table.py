@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from embulk_filter_copy_spark.lake.schema import TableSchema, spark_type
+from embulk_filter_copy_spark.lake.schema import (
+    SchemaEvolutionError,
+    TableSchema,
+    spark_type,
+)
 
 FORMAT_VERSION = 1
 
@@ -819,6 +823,14 @@ class LakeTable:
         """
         if schema_lsn <= self.schema_lsn:
             return False
+        if change.get("action") == "drop":
+            col = change.get("column")
+            protected = set(self.key_columns) | set(self.bucket_columns)
+            if col in protected:
+                raise SchemaEvolutionError(
+                    f"cannot drop {col!r}: it is a key/bucket column — row "
+                    "identity and physical placement depend on it"
+                )
         snap = self._next_snapshot()
         cur = TableSchema.from_json(snap["schemas"][str(snap["schema_version"])])
         new = cur.apply_change(change)

@@ -39,6 +39,7 @@ _PRIORITY = [
     "cdc_rollback_replay",
     "cdc_audit_gate",
     "cdc_shard_merge_replay",
+    "cdc_range_scan",
     "cdc_patch_replay_dups",
     "text_quality_rules",
     "text_fingerprint_stats",

@@ -1057,8 +1057,57 @@ def cdc_shard_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+def cdc_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-ordered compaction + manifest range pruning: replay the log
+    into a LakeTable, rewrite it sorted by `value` with 4 disjoint-range
+    files per bucket (per-file col_stats), then range-scan via
+    `read(stat_filter=...)` — the scan plans only the files whose recorded
+    range intersects, asserted inside the query. Oracle: LWW state
+    filtered by the same predicate."""
+    from embulk_filter_copy_spark.cdc.replayer import replay_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("U"))
+        .withColumnRenamed("event_id", "lsn")
+        .withColumn("schema_change", F.lit(None).cast("string"))
+    )
+    root = tempfile.mkdtemp(prefix="efc-range-q-")
+    table = LakeTable.create(
+        spark,
+        f"{root}/t",
+        [("user_id", "long"), ("event_type", "string"), ("value", "double"), ("props", "string")],
+        key_columns=["user_id"],
+        n_buckets=8,
+    )
+    replay_batch(spark, ev, table, run_id="q-range", n_epochs=2)
+    table.compact(sort_by=["value"], files_per_bucket_out=4)
+    lo, hi = 100.0, 400.0
+    pruned = [
+        f for f in table.files()
+        if "col_stats" in f
+        and not (f["col_stats"]["value"][1] < lo or f["col_stats"]["value"][0] > hi)
+    ]
+    assert 0 < len(pruned) < len(table.files()), "range pruning had no effect"
+    return table.read(stat_filter=("value", lo, hi)).select(
+        "user_id", "event_type", F.round("value", 6).alias("value"), "props"
+    )
+
+
+CDC_RANGE_SCAN_SQL = """
+SELECT user_id, event_type, round(value, 6) AS value, props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND value >= 100.0 AND value <= 400.0
+"""
+
+
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
+    "cdc_range_scan": (cdc_range_scan, CDC_RANGE_SCAN_SQL),
     "cdc_changelog_images": (cdc_changelog_images, CDC_CHANGELOG_SQL),
     "cdc_rollback_replay": (cdc_rollback_replay, CDC_REPLAY_SQL),
     "cdc_audit_gate": (cdc_audit_gate, CDC_REPLAY_SQL),

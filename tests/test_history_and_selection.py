@@ -786,3 +786,46 @@ def test_temporal_join_plan_is_equi_join(spark):
         df.explain("formatted")
     p = buf.getvalue()
     assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_refresh_follows_store_drop(spark, tmp_path):
+    """A column DROPPED from the store after the view was built must be
+    dropped from the view on refresh — otherwise refreshed buckets
+    null-fill the stale column while untouched buckets keep old values (a
+    half-dropped view)."""
+    import json as _json
+
+    from embulk_filter_copy_spark.cdc.history import (
+        apply_history_batch,
+        create_history_table,
+        materialize_history,
+        read_history,
+        refresh_history,
+    )
+
+    store = create_history_table(
+        spark, str(tmp_path / "s"),
+        [("k", "string"), ("v", "string"), ("junk", "string")],
+        key_cols=["k"], n_buckets=2,
+    )
+    b0 = spark.createDataFrame(
+        [("k1", 1, "U", "a", "x", None), ("k2", 2, "U", "b", "y", None)],
+        "k string, lsn long, op string, v string, junk string, schema_change string",
+    )
+    apply_history_batch(store, b0, run_id="r", epoch=0)
+    dest = materialize_history(store, str(tmp_path / "view"))
+    assert any(f.name == "junk" for f in dest.schema.fields)
+
+    ddl = _json.dumps({"action": "drop", "column": "junk"})
+    b1 = spark.createDataFrame(
+        [("k1", 4, "S", None, ddl), ("k1", 5, "U", "a2", None)],
+        "k string, lsn long, op string, v string, schema_change string",
+    )
+    apply_history_batch(store, b1, run_id="r", epoch=1)
+    refresh_history(store, dest)
+    assert not any(f.name == "junk" for f in dest.schema.fields)
+    cols = ["k", "v", "valid_from_lsn", "valid_to_lsn", "is_current"]
+    assert sorted(map(tuple, dest.read().select(*cols).collect())) == \
+        sorted(map(tuple, read_history(store).select(*cols).collect()))
+    # idempotent re-refresh
+    assert refresh_history(store, dest)["skipped"]

@@ -78,3 +78,53 @@ def test_ddl_idempotent_on_epoch_replay(spark, tmpdir_path):
     sv = t.snapshot()["schema_version"]
     apply_batch(t, ev, run_id="r", epoch=0)  # full replay → everything skipped
     assert t.snapshot()["schema_version"] == sv
+
+
+def test_drop_column_id_semantics(spark, tmpdir_path):
+    """Drop + re-add with the same NAME: the new field gets a fresh id, so
+    old files' values never resurrect under it (Iceberg drop semantics).
+    Time travel below the drop still sees the column."""
+    import pytest
+
+    from embulk_filter_copy_spark.lake.schema import SchemaEvolutionError
+
+    t, base = _bootstrap(spark, tmpdir_path, seed=5)
+    v_before = t.current_version()
+    assert t.read().filter(F.col("lang").isNotNull()).count() > 0
+
+    assert t.update_schema({"action": "drop", "column": "lang"}, schema_lsn=50)
+    assert "lang" not in t.read().columns
+    assert "lang" in t.read(version=v_before).columns  # time travel intact
+
+    # merges keep working; event rows still carrying `lang` are projected off
+    ev = gen_change_events(spark, 80, 100, seed=5)
+    apply_batch(t, ev, run_id="drop", epoch=0)
+    assert "lang" not in t.read().columns
+
+    # re-add the NAME: fresh field id — every row reads NULL, nothing
+    # resurrects from the old physical column still present in files
+    assert t.update_schema({"action": "add", "column": "lang", "type": "string"}, schema_lsn=60)
+    assert t.read().filter(F.col("lang").isNotNull()).count() == 0
+
+    # identity/placement columns are protected
+    with pytest.raises(SchemaEvolutionError, match="key/bucket"):
+        t.update_schema({"action": "drop", "column": "repo"}, schema_lsn=70)
+
+
+def test_drop_column_mid_batch_ddl(spark, tmpdir_path):
+    """op='S' drop event sequenced inside a batch: rows after the DDL land
+    without the column; the final read carries the post-drop schema."""
+    t, base = _bootstrap(spark, tmpdir_path, seed=9)
+    ev = gen_change_events(
+        spark, 80, 300, seed=9,
+        schema_changes=[(150, {"action": "drop", "column": "lang"})],
+    )
+    apply_batch(t, ev, run_id="sed", epoch=0)
+    got = t.read()
+    assert "lang" not in got.columns
+    # data parity on the surviving columns vs the golden replayer
+    golden = replay_oracle(base.toPandas(), ev.toPandas())
+    gp = got.toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert len(gp) == len(golden)
+    assert gp[["repo", "path", "content"]].equals(
+        golden[["repo", "path", "content"]].reset_index(drop=True))
