@@ -40,6 +40,7 @@ _PRIORITY = [
     "cdc_audit_gate",
     "cdc_shard_merge_replay",
     "cdc_range_scan",
+    "cdc_ddl_replay",
     "cdc_patch_replay_dups",
     "text_quality_rules",
     "text_fingerprint_stats",

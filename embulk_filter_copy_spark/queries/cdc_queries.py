@@ -1105,8 +1105,73 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+def cdc_ddl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional DDL sequenced inside the replay: a mid-stream op='S'
+    DROP of `props` (at the half-way LSN) followed by an ADD of `score`
+    lands between the merges; events before the drop wrote props, events
+    after it are projected off, and the final table carries the evolved
+    schema (props gone, score NULL — fresh field id). Oracle: plain LWW
+    over the surviving columns."""
+    import json as _json
+
+    from embulk_filter_copy_spark.cdc.replayer import replay_batch
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn("op", F.lit("U"))
+        .withColumnRenamed("event_id", "lsn")
+        .withColumn("schema_change", F.lit(None).cast("string"))
+    )
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    mid = (lo + hi) // 2
+    ddl = spark.createDataFrame(
+        [
+            (mid, "S", _json.dumps({"action": "drop", "column": "props"})),
+            (mid + 1, "S", _json.dumps({"action": "add", "column": "score", "type": "long"})),
+        ],
+        "lsn long, op string, schema_change string",
+    )
+    # DDL rows ride the same ordered log (lsn gives them their place);
+    # missing payload columns are NULL, exactly like a real WAL's S rows
+    log = ev.unionByName(ddl, allowMissingColumns=True).filter(
+        ~F.col("lsn").isin(mid, mid + 1) | (F.col("op") == "S")
+    )
+    root = tempfile.mkdtemp(prefix="efc-ddl-q-")
+    table = LakeTable.create(
+        spark,
+        f"{root}/t",
+        [("user_id", "long"), ("event_type", "string"), ("value", "double"), ("props", "string")],
+        key_columns=["user_id"],
+        n_buckets=16,
+    )
+    replay_batch(spark, log, table, run_id="q-ddl", n_epochs=2)
+    out = table.read()
+    assert "props" not in out.columns and "score" in out.columns
+    return out.select(
+        "user_id", "event_type", F.round("value", 6).alias("value"), "score"
+    )
+
+
+CDC_DDL_REPLAY_SQL = """
+WITH cutv AS (
+  SELECT CAST(floor((min(event_id) + max(event_id)) / 2.0) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id, event_type, round(value, 6) AS value,
+       CAST(NULL AS BIGINT) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id NOT IN (SELECT c FROM cutv)
+                AND event_id NOT IN (SELECT c + 1 FROM cutv)
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "cdc_replay_events": (cdc_replay_events, CDC_REPLAY_SQL),
+    "cdc_ddl_replay": (cdc_ddl_replay, CDC_DDL_REPLAY_SQL),
     "cdc_range_scan": (cdc_range_scan, CDC_RANGE_SCAN_SQL),
     "cdc_changelog_images": (cdc_changelog_images, CDC_CHANGELOG_SQL),
     "cdc_rollback_replay": (cdc_rollback_replay, CDC_REPLAY_SQL),
