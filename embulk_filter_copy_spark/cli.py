@@ -180,6 +180,25 @@ def cmd_redrive(args) -> None:
     )))
 
 
+def cmd_lookup(args) -> None:
+    import json as _json
+
+    from embulk_filter_copy_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    key = dict(kv.split("=", 1) for kv in args.key)
+    # cast string CLI values to each key column's declared type
+    typed = {}
+    for f in t.schema.fields:
+        if f.name in key:
+            v = key[f.name]
+            typed[f.name] = int(v) if f.type in ("int", "long") else v
+    df = t.lookup(typed, version=args.version)
+    rows = [r.asDict() for r in df.limit(args.limit).collect()]
+    print(_json.dumps(rows, default=str))
+
+
 def cmd_rollback(args) -> None:
     from embulk_filter_copy_spark.lake.table import LakeTable
 
@@ -384,6 +403,17 @@ def main(argv: list[str] | None = None) -> None:
     fk.add_argument("--metadata-only", action="store_true",
                     help="skip the distributed data pass")
 
+    lk = sub.add_parser(
+        "lookup",
+        help="bucket-pruned point lookup: O(one bucket) regardless of size",
+    )
+    lk.set_defaults(func=cmd_lookup)
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--key", action="append", required=True,
+                    help="col=value (repeat; must cover the bucket columns)")
+    lk.add_argument("--version", type=int, default=None)
+    lk.add_argument("--limit", type=int, default=20)
+
     rb = sub.add_parser(
         "rollback",
         help="roll the table back to an earlier snapshot (non-destructive; "
@@ -440,6 +470,7 @@ def main(argv: list[str] | None = None) -> None:
         "compact-quarantine": cmd_compact_quarantine,
         "redrive": cmd_redrive,
         "fsck": cmd_fsck,
+        "lookup": cmd_lookup,
         "aggview": cmd_aggview,
         "rescale": cmd_rescale,
         "rollback": cmd_rollback,

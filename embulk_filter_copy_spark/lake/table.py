@@ -622,6 +622,7 @@ class LakeTable:
         self, df: DataFrame, commit_dir: str, kind: str = "base",
         n_buckets: int | None = None, bucket_columns: list[str] | None = None,
         sort_by: list[str] | None = None, range_files: int = 1,
+        stat_columns: list[str] | None = None,
     ) -> list[dict]:
         """Write df into data/<commit_dir>/_bucket=*/ and return file entries.
         ``n_buckets`` / ``bucket_columns`` override the snapshot's bucket
@@ -664,7 +665,10 @@ class LakeTable:
         staged.write.mode("errorifexists").partitionBy("_bucket").parquet(out_dir)
         sv = self.snapshot()["schema_version"]
         paths = sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet")))
-        stat_cols = list(sort_by or [])
+        # stats recorded for the sort columns (disjoint ranges — the primary
+        # pruning key) plus any extra stat_columns the caller asks for
+        # (overlapping per file, still prunable when values correlate)
+        stat_cols = list(dict.fromkeys([*(sort_by or []), *(stat_columns or [])]))
 
         def _plain(v):
             # manifest entries are JSON: keep only portable scalar stats
@@ -789,13 +793,14 @@ class LakeTable:
     def replace_buckets(
         self, buckets: list[int], df: DataFrame, commit: dict | None = None,
         sort_by: list[str] | None = None, range_files: int = 1,
+        stat_columns: list[str] | None = None,
     ) -> dict:
         """Copy-on-write swap: new files for `buckets`, other buckets untouched."""
         bset = set(int(b) for b in buckets)
         snap = self._next_snapshot()
         entries = self._write_data_files(
             df, f"c{snap['version']:08d}-{uuid.uuid4().hex[:8]}",
-            sort_by=sort_by, range_files=range_files,
+            sort_by=sort_by, range_files=range_files, stat_columns=stat_columns,
         )
         bad = [e for e in entries if e["bucket"] not in bset]
         if bad:
@@ -873,6 +878,7 @@ class LakeTable:
         min_delta_files: int = 1,
         sort_by: list[str] | None = None,
         files_per_bucket_out: int = 1,
+        stat_columns: list[str] | None = None,
     ) -> dict:
         """Rewrite fragmented buckets (small-file compaction) and optionally
         drop tombstones — safe once (a) every producer's watermark has
@@ -935,6 +941,7 @@ class LakeTable:
         res = self.replace_buckets(
             targets, df, commit=commit,
             sort_by=sort_by, range_files=files_per_bucket_out,
+            stat_columns=stat_columns,
         )
         return {
             "buckets_compacted": targets,

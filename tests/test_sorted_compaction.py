@@ -102,3 +102,16 @@ def test_stat_filter_survives_rename(spark, tmpdir_path):
     want = t.read().filter(F.col("event_ts") <= 10_000)
     assert got.count() == want.count() > 0
     assert "event_ts" in got.columns
+
+
+def test_extra_stat_columns_recorded_and_pruned(spark, tmpdir_path):
+    """stat_columns beyond the sort key: recorded per file; prunable when
+    the column correlates with the sort order (here k correlates with
+    nothing, so its ranges overlap — kept files still answer exactly)."""
+    t = _mk(spark, os.path.join(tmpdir_path, "t"), n=1000)
+    t.compact(sort_by=["ts_val"], files_per_bucket_out=3, stat_columns=["k"])
+    files = t.files()
+    assert all("k" in f["col_stats"] and "ts_val" in f["col_stats"] for f in files)
+    got = t.read(stat_filter=("k", 0, 100)).count()
+    want = t.read().filter(F.col("k") <= 100).count()
+    assert got == want > 0
